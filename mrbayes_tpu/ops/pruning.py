@@ -1,0 +1,103 @@
+"""Felsenstein pruning on dense tensors (traced, jit/vmap-able).
+
+One division's log-likelihood given a traced topology.  The conditional-
+likelihood tensor is ``[n_nodes, patterns, rate_cats, states]``; the pass is
+a ``lax.scan`` over internal nodes in traced postorder, each step two
+batched (pattern×cat, state)×(state, state) contractions — the MXU path.
+Per-node max-rescaling keeps float32 partials in range (role of the
+reference's CondLikeScaler_* and BEAGLE's dynamic rescaling protocol,
+src/likelihood.c:4939-5612, src/mbbeagle.c:400-538 — here rescaling is
+unconditional, which is branch-free and cheap on TPU).
+
+Root reduction: lnL = Σ_p w_p log( (1-pinv) Σ_k f_k Σ_s π_s CL[p,k,s]
++ pinv Σ_s π_s 1[pattern p constant at s] ), reference
+src/likelihood.c:6238-6368 (Likelihood_NUC4 family).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .tiprobs import transition_probs
+from .traversal import postorder_internal
+
+_TINY = 1e-30
+
+
+def division_loglik(left: jnp.ndarray, right: jnp.ndarray,
+                    parent: jnp.ndarray, blen: jnp.ndarray,
+                    tip_partials: jnp.ndarray, weights: jnp.ndarray,
+                    lam: jnp.ndarray, U: jnp.ndarray, Uinv: jnp.ndarray,
+                    pi: jnp.ndarray, cat_rates: jnp.ndarray,
+                    pinv: jnp.ndarray | float,
+                    const_mask: jnp.ndarray | None,
+                    n_tips: int,
+                    rate_mult: jnp.ndarray | float = 1.0) -> jnp.ndarray:
+    """Log-likelihood of one division.
+
+    Shapes: left/right/parent/blen [2n-1]; tip_partials [n, P, S];
+    weights [P]; lam [S]; U/Uinv [S, S]; pi [S]; cat_rates [K];
+    const_mask [P, S] (None when pinv is fixed at 0).
+    """
+    n_nodes = 2 * n_tips - 1
+    npat, s = tip_partials.shape[1], tip_partials.shape[2]
+    k = cat_rates.shape[0]
+    dtype = tip_partials.dtype
+
+    # P(t) for the edge above every node: [n_nodes, K, S, S]
+    tau = blen.astype(dtype) * jnp.asarray(rate_mult, dtype)
+    eff = tau[:, None] * cat_rates[None, :].astype(dtype)
+    P = transition_probs(lam.astype(dtype), U.astype(dtype),
+                         Uinv.astype(dtype), eff)
+
+    partials = jnp.zeros((n_nodes, npat, k, s), dtype)
+    partials = partials.at[:n_tips].set(
+        jnp.broadcast_to(tip_partials[:, :, None, :], (n_tips, npat, k, s)))
+
+    order = postorder_internal(parent, n_tips)
+
+    def step(carry, v):
+        partials, logscale = carry
+        l = left[v]
+        r = right[v]
+        cl_l = partials[l]                       # [P, K, S]
+        cl_r = partials[r]
+        wl = jnp.einsum("ksj,pkj->pks", P[l], cl_l)
+        wr = jnp.einsum("ksj,pkj->pks", P[r], cl_r)
+        cl = wl * wr
+        m = jnp.maximum(jnp.max(cl, axis=(1, 2)), _TINY)   # [P]
+        cl = cl / m[:, None, None]
+        logscale = logscale + jnp.log(m)
+        partials = partials.at[v].set(cl)
+        return (partials, logscale), None
+
+    (partials, logscale), _ = jax.lax.scan(
+        step, (partials, jnp.zeros((npat,), dtype)), order)
+
+    root = n_nodes - 1
+    site_l = jnp.einsum("pks,s->p", partials[root], pi.astype(dtype)) / k
+    site_l = jnp.maximum(site_l, _TINY)
+    ln_var = jnp.log(site_l) + logscale
+
+    pinv = jnp.asarray(pinv, dtype)
+    if const_mask is None:
+        ln_site = ln_var
+    else:
+        const_l = jnp.einsum("ps,s->p", const_mask.astype(dtype),
+                             pi.astype(dtype))
+        ln_inv = jnp.log(jnp.maximum(pinv, _TINY)) + \
+            jnp.log(jnp.maximum(const_l, _TINY))
+        ln_site = jnp.where(
+            pinv > 0.0,
+            jnp.logaddexp(jnp.log1p(-jnp.minimum(pinv, 1 - 1e-7)) + ln_var,
+                          ln_inv),
+            ln_var)
+    return jnp.sum(weights.astype(dtype) * ln_site)
+
+
+def constant_state_mask(patterns, n_states: int):
+    """Host-side helper: [P, S] 1.0 where a pattern is compatible with all
+    taxa having constant state s (bit s set in every taxon's mask)."""
+    import numpy as np
+    bits = (patterns[..., None] >> np.arange(n_states)) & 1  # [n,P,S]
+    return np.all(bits, axis=0).astype(np.float32)

@@ -1,0 +1,173 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mrbayes_tpu.data import make_divisions
+from mrbayes_tpu.models.rates import discrete_gamma
+from mrbayes_tpu.models.substitution import nuc_q_gtr, nuc_q_nst1, nuc_q_nst2
+from mrbayes_tpu.ops.pruning import constant_state_mask, division_loglik
+from mrbayes_tpu.ops.tiprobs import eigh_reversible, expm_pade, transition_probs
+from mrbayes_tpu.ops.traversal import node_depths, postorder_internal, subtree_mask
+from mrbayes_tpu.trees import parse_newick, random_unrooted, to_newick
+
+import reference_impl as ref
+
+
+def test_q_properties():
+    pi = jnp.array([0.3, 0.2, 0.25, 0.25])
+    ex = jnp.array([1.0, 4.0, 1.0, 1.0, 4.0, 1.0])
+    Q = nuc_q_gtr(ex, pi)
+    assert np.allclose(np.asarray(Q).sum(1), 0, atol=1e-6)
+    # normalization: -sum pi_i Q_ii == 1
+    assert np.isclose(-(np.asarray(pi) * np.diag(Q)).sum(), 1.0, atol=1e-6)
+    # detailed balance
+    Qn = np.asarray(Q)
+    pin = np.asarray(pi)
+    assert np.allclose(pin[:, None] * Qn, (pin[:, None] * Qn).T, atol=1e-6)
+    # matches oracle
+    assert np.allclose(Qn, ref.gtr_q(np.asarray(ex), pin), atol=1e-6)
+
+
+def test_tiprobs_identities():
+    pi = jnp.array([0.1, 0.2, 0.3, 0.4])
+    ex = jnp.array([1.0, 2.0, 0.5, 1.2, 3.0, 1.0])
+    Q = nuc_q_gtr(ex, pi)
+    lam, U, Uinv = eigh_reversible(Q, pi)
+    P0 = transition_probs(lam, U, Uinv, jnp.array(0.0))
+    assert np.allclose(P0, np.eye(4), atol=1e-5)
+    P = transition_probs(lam, U, Uinv, jnp.array(0.37))
+    assert np.allclose(np.asarray(P).sum(-1), 1.0, atol=1e-5)
+    # vs expm
+    from scipy.linalg import expm as sexpm
+    assert np.allclose(np.asarray(P), sexpm(np.asarray(Q) * 0.37), atol=1e-5)
+    # our pade
+    Pp = expm_pade(Q * 0.37)
+    assert np.allclose(np.asarray(Pp), sexpm(np.asarray(Q) * 0.37), atol=1e-4)
+    # detailed balance of P
+    Pn = np.asarray(P)
+    pin = np.asarray(pi)
+    assert np.allclose(pin[:, None] * Pn, (pin[:, None] * Pn).T, atol=1e-5)
+
+
+def test_discrete_gamma_vs_scipy():
+    for alpha in [0.1, 0.5, 1.0, 2.7, 10.0]:
+        r = np.asarray(discrete_gamma(jnp.float32(alpha), 4))
+        r_ref = ref.discrete_gamma_rates(alpha, 4)
+        assert np.allclose(r, r_ref, rtol=2e-3), (alpha, r, r_ref)
+        assert np.isclose(r.mean(), 1.0, atol=1e-3)
+
+
+def test_traversal(rng):
+    t = random_unrooted(16, rng)
+    order = np.asarray(postorder_internal(jnp.array(t.parent), 16))
+    seen = set(range(16))
+    for v in order:
+        assert t.left[v] in seen and t.right[v] in seen
+        seen.add(int(v))
+    assert order[-1] == t.root
+    d = np.asarray(node_depths(jnp.array(t.parent)))
+    assert d[t.root] == 0
+    for v in range(t.n_nodes):
+        if t.parent[v] >= 0:
+            assert d[v] == d[t.parent[v]] + 1
+    # subtree mask
+    v = t.left[t.left[t.root]]
+    mask = np.asarray(subtree_mask(jnp.array(t.parent), v))
+    for w in range(t.n_nodes):
+        expect = False
+        x = w
+        while x >= 0:
+            if x == v:
+                expect = True
+                break
+            x = t.parent[x]
+        assert mask[w] == expect
+
+
+def test_newick_roundtrip(rng):
+    taxa = [f"t{i}" for i in range(9)]
+    t = random_unrooted(9, rng)
+    s = to_newick(t, taxa)
+    t2 = parse_newick(s, taxa)
+    # same unrooted splits: compare sorted pairs of (sorted tip sets)
+    def splits(tr):
+        out = set()
+        for v in range(tr.n_tips, tr.n_nodes - 1):
+            tips = frozenset(
+                i for i in range(tr.n_tips)
+                if _has_anc(tr, i, v))
+            if 1 < len(tips) < tr.n_tips - 1:
+                out.add(tips)
+        return out
+
+    def _has_anc(tr, i, v):
+        x = i
+        while x >= 0:
+            if x == v:
+                return True
+            x = tr.parent[x]
+        return False
+
+    assert splits(t) == splits(t2)
+    # branch lengths preserved: total tree length
+    from mrbayes_tpu.trees import tree_length
+    assert np.isclose(tree_length(t), tree_length(t2), rtol=1e-6)
+
+
+@pytest.mark.parametrize("n_tips,K,pinv", [(5, 1, 0.0), (12, 4, 0.0),
+                                           (8, 4, 0.3)])
+def test_loglik_vs_oracle(rng, n_tips, K, pinv):
+    # random data + tree; compare traced engine vs float64 numpy oracle
+    npat = 40
+    patterns = rng.integers(1, 15, size=(n_tips, npat)).astype(np.uint32)
+    weights = rng.integers(1, 5, size=npat).astype(np.float64)
+    bits = (patterns[..., None] >> np.arange(4)) & 1
+    tp = bits.astype(np.float32)
+    t = random_unrooted(n_tips, rng)
+    pi = np.array([0.35, 0.15, 0.2, 0.3])
+    ex = np.array([1.0, 3.5, 0.8, 1.1, 4.2, 1.0])
+    alpha = 0.7
+    rates = (ref.discrete_gamma_rates(alpha, K) if K > 1 else np.ones(1))
+    Q = ref.gtr_q(ex, pi)
+    cmask = constant_state_mask(patterns, 4)
+    want = ref.loglik(t, tp.astype(np.float64), weights, Q, pi, rates,
+                      pinv=pinv, const_mask=cmask.astype(np.float64))
+
+    lam, U, Uinv = eigh_reversible(jnp.array(Q, jnp.float32),
+                                   jnp.array(pi, jnp.float32))
+    got = division_loglik(
+        jnp.array(t.left), jnp.array(t.right), jnp.array(t.parent),
+        jnp.array(t.blen, jnp.float32), jnp.array(tp),
+        jnp.array(weights, jnp.float32), lam, U, Uinv,
+        jnp.array(pi, jnp.float32),
+        jnp.array(rates, jnp.float32), pinv,
+        jnp.array(cmask) if pinv > 0 else None, n_tips)
+    assert np.isclose(float(got), want, rtol=0, atol=0.02 + 2e-5 * abs(want))
+
+
+def test_loglik_jit_and_vmap(rng, primates):
+    d = make_divisions(primates.matrix)[0]
+    tp = jnp.array(d.tip_partials())
+    w = jnp.array(d.weights, jnp.float32)
+    pi = jnp.full((4,), 0.25)
+    Q = nuc_q_nst1(pi)
+    lam, U, Uinv = eigh_reversible(Q, pi)
+    rates = jnp.ones((1,))
+
+    def ll(blen):
+        t = random_unrooted(12, np.random.default_rng(0))
+        return division_loglik(
+            jnp.array(t.left), jnp.array(t.right), jnp.array(t.parent),
+            blen, tp, w, lam, U, Uinv, pi, rates, 0.0, None, 12)
+
+    t0 = random_unrooted(12, np.random.default_rng(0))
+    f = jax.jit(ll)
+    v1 = f(jnp.array(t0.blen, jnp.float32))
+    # vmap over a batch of branch-length vectors (chains analog)
+    batch = jnp.stack([jnp.array(t0.blen, jnp.float32) * s
+                       for s in (0.5, 1.0, 2.0)])
+    v3 = jax.vmap(ll)(batch)
+    assert v3.shape == (3,)
+    assert np.isclose(float(v3[1]), float(v1), rtol=1e-5)
+    assert float(v1) < 0
