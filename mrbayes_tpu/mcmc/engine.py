@@ -1,0 +1,511 @@
+"""The MC3 engine: state assembly, likelihood/prior composition, and the
+jitted generation loop with Metropolis-coupled chain swaps.
+
+TPU-first redesign of the reference RunChain loop (src/mcmc.c:15988,
+hot loop :16704): every chain of every run is one row of a vmapped state
+pytree; a generation is one traced step (propose → full lnL/lnPrior
+recompute → Metropolis accept); heated-chain swaps permute a temperature-id
+vector using a PRNG stream shared by construction (the reference shares
+``swapSeed`` across MPI ranks for the same purpose, src/mcmc.c:5217-5226);
+``lax.scan`` runs ``samplefreq`` generations per device dispatch.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import DataSet, Division
+from ..models.rates import discrete_gamma, discrete_lognormal
+from ..models.substitution import (mk_q, nuc_q_gtr, nuc_q_nst1, nuc_q_nst2,
+                                   reversible_q)
+from ..nexus.datatypes import DataType
+from ..ops.pruning import constant_state_mask, division_loglik
+from ..ops.tiprobs import eigh_reversible
+from ..trees import Tree, random_unrooted
+from . import moves as M
+from .priors import (beta_lpdf, brlens_exponential_lpdf, brlens_gammadir_lpdf,
+                     brlens_uniform_lpdf, dirichlet_lpdf, exponential_lpdf,
+                     gamma_lpdf, lognormal_lpdf, normal_lpdf, uniform_lpdf)
+from .settings import DivisionSettings, McmcSettings, Prior, TreeSettings
+
+NEG_INF = -1e30
+
+
+@dataclass
+class MoveSpec:
+    name: str
+    fn: object
+    weight: float
+    tuning0: float
+    target: float = 0.25
+    direction: int = 1        # +1: larger tuning bolder; -1: larger = timid
+    tmin: float = 1e-3
+    tmax: float = 1e3
+    tunable: bool = True
+
+
+@dataclass
+class DivCfg:
+    """Static per-division wiring resolved at build time."""
+    div: Division
+    settings: DivisionSettings
+    pi_group: int = -1          # -1: fixed (not sampled)
+    revmat_group: int = -1
+    tratio_group: int = -1
+    shape_group: int = -1
+    pinvar_group: int = -1
+    n_cats: int = 1
+    fixed_pi: np.ndarray | None = None
+
+
+def _scalar_prior_lpdf(prior: Prior, x):
+    k = prior.kind
+    p = prior.params
+    if k == "exponential":
+        return exponential_lpdf(x, p[0])
+    if k == "uniform":
+        return uniform_lpdf(x, p[0], p[1])
+    if k == "gamma":
+        return gamma_lpdf(x, p[0], p[1])
+    if k == "lognormal":
+        return lognormal_lpdf(x, p[0], p[1])
+    if k == "normal":
+        return normal_lpdf(x, p[0], p[1])
+    if k == "beta":
+        return beta_lpdf(x, p[0], p[1])
+    if k == "fixed":
+        return jnp.zeros_like(x)
+    raise ValueError(f"unsupported scalar prior {k}")
+
+
+class Engine:
+    """Builds and runs one analysis (the analog of SetUpAnalysis +
+    DoMcmc, reference src/model.c:21386 / src/mcmc.c:2270)."""
+
+    def __init__(self, dataset: DataSet,
+                 div_settings: list[DivisionSettings],
+                 tree_settings: TreeSettings | None = None,
+                 mcmc: McmcSettings | None = None,
+                 links: dict[str, list[int]] | None = None):
+        self.data = dataset
+        self.tree_settings = tree_settings or TreeSettings()
+        self.mcmc = mcmc or McmcSettings()
+        self.n_tips = dataset.ntax
+        self.n_nodes = 2 * self.n_tips - 1
+        assert len(div_settings) == len(dataset.divisions)
+        self._build_groups(div_settings, links)
+        self._build_data_tensors()
+        self._build_moves()
+
+    # ------------------------------------------------------------------
+    # static wiring
+
+    def _build_groups(self, div_settings, links):
+        """Assign each sampled parameter of each division to a link group.
+        Default: divisions with identical settings share a group (the
+        reference links parameters when IsModelSame holds,
+        src/model.c:13827); `links[param][d]` overrides."""
+        n_div = len(div_settings)
+        self.div_cfg: list[DivCfg] = []
+        counters = {}
+
+        def group_of(param, d, signature):
+            if links and param in links:
+                key = (param, links[param][d])
+            else:
+                key = (param, signature)
+            store = counters.setdefault(param, {})
+            if key not in store:
+                store[key] = len(store)
+            return store[key]
+
+        for d, (div, s) in enumerate(zip(self.data.divisions, div_settings)):
+            cfg = DivCfg(div=div, settings=s)
+            is_nuc = div.dtype in (DataType.DNA, DataType.RNA)
+            if is_nuc or div.dtype is DataType.PROTEIN:
+                if s.statefreqpr.kind == "dirichlet":
+                    cfg.pi_group = group_of("pi", d, repr(s.statefreqpr))
+                else:  # fixed(equal) / fixed(empirical)
+                    if s.statefreqpr.kind == "fixed" and s.statefreqpr.params:
+                        cfg.fixed_pi = np.asarray(s.statefreqpr.params)
+                    else:
+                        cfg.fixed_pi = np.full(div.n_states,
+                                               1.0 / div.n_states)
+            if is_nuc and s.nst == "6":
+                cfg.revmat_group = group_of("revmat", d, repr(s.revmatpr))
+            if is_nuc and s.nst == "2":
+                cfg.tratio_group = group_of("tratio", d, repr(s.tratiopr))
+            if s.rates in ("gamma", "invgamma", "lnorm"):
+                cfg.shape_group = group_of("shape", d, repr(s.shapepr))
+                cfg.n_cats = s.ngammacat
+            if s.rates in ("propinv", "invgamma"):
+                cfg.pinvar_group = group_of("pinvar", d, repr(s.pinvarpr))
+            self.div_cfg.append(cfg)
+
+        self.n_groups = {p: len(v) for p, v in counters.items()}
+        self.ratemult_on = any(s.ratepr == "variable" for s in div_settings)
+        self.n_div = n_div
+        # priors per group: use the first division that defined the group
+        self.group_priors: dict[tuple, Prior] = {}
+        for cfg in self.div_cfg:
+            s = cfg.settings
+            for param, gid, pr in [("pi", cfg.pi_group, s.statefreqpr),
+                                   ("revmat", cfg.revmat_group, s.revmatpr),
+                                   ("tratio", cfg.tratio_group, s.tratiopr),
+                                   ("shape", cfg.shape_group, s.shapepr),
+                                   ("pinvar", cfg.pinvar_group, s.pinvarpr)]:
+                if gid >= 0:
+                    self.group_priors.setdefault((param, gid), pr)
+
+    def _build_data_tensors(self):
+        self.tip_partials = []
+        self.weights = []
+        self.const_masks = []
+        for cfg in self.div_cfg:
+            d = cfg.div
+            self.tip_partials.append(jnp.asarray(d.tip_partials()))
+            self.weights.append(jnp.asarray(d.weights, jnp.float32))
+            self.const_masks.append(
+                jnp.asarray(constant_state_mask(d.patterns, d.n_states)))
+        w = np.array([float(c.div.weights.sum()) for c in self.div_cfg])
+        self.div_char_frac = w / w.sum()   # ratemult weighting
+
+    def _build_moves(self):
+        mk = []
+        n = self.n_tips
+        mk.append(MoveSpec("nni", partial(M.move_nni, n_tips=n), 5.0, 0.0,
+                           tunable=False))
+        mk.append(MoveSpec("spr", partial(M.move_spr, n_tips=n), 5.0, 0.0,
+                           tunable=False))
+        mk.append(MoveSpec("blen_mult",
+                           partial(M.move_blen_multiplier, n_tips=n),
+                           15.0, 2.0 * np.log(1.6), 0.25, 1, 1e-3, 20.0))
+        mk.append(MoveSpec("node_slider",
+                           partial(M.move_node_slider, n_tips=n),
+                           5.0, 0.0, tunable=False))
+        mk.append(MoveSpec("treelen_mult",
+                           partial(M.move_treelen_multiplier, n_tips=n),
+                           2.0, 2.0 * np.log(1.6), 0.25, 1, 1e-3, 10.0))
+        if self.n_groups.get("pi"):
+            mk.append(MoveSpec("pi_dir",
+                               partial(M.make_simplex_move("pi"), n_tips=n),
+                               2.0, 100.0, 0.25, -1, 1.0, 1e5))
+        if self.n_groups.get("revmat"):
+            mk.append(MoveSpec(
+                "revmat_dir",
+                partial(M.make_simplex_move("revmat"), n_tips=n),
+                2.0, 200.0, 0.25, -1, 1.0, 1e5))
+        if self.n_groups.get("tratio"):
+            mk.append(MoveSpec(
+                "tratio_mult",
+                partial(M.make_multiplier_move("tratio", 1e-4, 1e4),
+                        n_tips=n), 1.0, 1.0, 0.25, 1, 1e-3, 20.0))
+        if self.n_groups.get("shape"):
+            mk.append(MoveSpec(
+                "shape_mult",
+                partial(M.make_multiplier_move("shape", 1e-4, 200.0),
+                        n_tips=n), 1.5, 2.0 * np.log(1.6), 0.25, 1,
+                1e-3, 20.0))
+        if self.n_groups.get("pinvar"):
+            mk.append(MoveSpec(
+                "pinvar_slider",
+                partial(M.make_slider_move("pinvar", 0.0, 1.0), n_tips=n),
+                1.5, 0.2, 0.25, 1, 1e-3, 1.0))
+        if self.ratemult_on:
+            mk.append(MoveSpec(
+                "ratemult_dir",
+                partial(M.make_simplex_move("ratemult"), n_tips=n),
+                1.5, 300.0, 0.25, -1, 1.0, 1e5))
+        self.moves = mk
+        w = np.array([m.weight for m in mk])
+        self.move_logits = jnp.log(jnp.asarray(w / w.sum()))
+
+    # ------------------------------------------------------------------
+    # state
+
+    def init_state(self, rng: np.random.Generator, tree: Tree | None = None):
+        """One chain's state dict (host values)."""
+        t = tree or random_unrooted(self.n_tips, rng, mean_blen=0.1)
+        st = {
+            "left": jnp.asarray(t.left), "right": jnp.asarray(t.right),
+            "parent": jnp.asarray(t.parent),
+            "blen": jnp.asarray(np.clip(t.blen, 0.0, M.BRLEN_MAX)
+                                .astype(np.float32)),
+        }
+        if self.n_groups.get("pi"):
+            st["pi"] = jnp.full((self.n_groups["pi"], 4), 0.25)
+        if self.n_groups.get("revmat"):
+            st["revmat"] = jnp.full((self.n_groups["revmat"], 6), 1.0 / 6)
+        if self.n_groups.get("tratio"):
+            st["tratio"] = jnp.ones((self.n_groups["tratio"],))
+        if self.n_groups.get("shape"):
+            st["shape"] = jnp.full((self.n_groups["shape"],), 0.5)
+        if self.n_groups.get("pinvar"):
+            st["pinvar"] = jnp.full((self.n_groups["pinvar"],), 0.1)
+        if self.ratemult_on:
+            st["ratemult"] = jnp.asarray(self.div_char_frac, jnp.float32)
+        return st
+
+    def init_chains(self, seed: int | None = None):
+        """Vmapped initial states for all runs × chains + bookkeeping."""
+        seed = self.mcmc.seed if seed is None else seed
+        rng = np.random.default_rng(seed)
+        states = [self.init_state(rng) for _ in
+                  range(self.mcmc.n_chains_total)]
+        states = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+        lnL = jax.vmap(self.log_likelihood)(states)
+        lnP = jax.vmap(self.log_prior)(states)
+        states["lnL"] = lnL
+        states["lnP"] = lnP
+        nt, nm = self.mcmc.n_chains_total, len(self.moves)
+        bk = {
+            "key": jax.random.PRNGKey(seed),
+            "swap_key": jax.random.PRNGKey(self.mcmc.swapseed),
+            "temp_id": jnp.tile(jnp.arange(self.mcmc.nchains),
+                                self.mcmc.nruns),
+            "tuning": jnp.tile(jnp.asarray(
+                [m.tuning0 for m in self.moves], jnp.float32), (nt, 1)),
+            "tries": jnp.zeros((nt, nm), jnp.int32),
+            "accepts": jnp.zeros((nt, nm), jnp.int32),
+            "tries_total": jnp.zeros((nt, nm), jnp.int32),
+            "accepts_total": jnp.zeros((nt, nm), jnp.int32),
+            "swap_tries": jnp.zeros(
+                (self.mcmc.nruns, self.mcmc.nchains, self.mcmc.nchains),
+                jnp.int32),
+            "swap_accepts": jnp.zeros(
+                (self.mcmc.nruns, self.mcmc.nchains, self.mcmc.nchains),
+                jnp.int32),
+            "batch": jnp.zeros((), jnp.int32),
+            "gen": jnp.zeros((), jnp.int32),
+        }
+        return states, bk
+
+    # ------------------------------------------------------------------
+    # densities
+
+    def log_likelihood(self, state):
+        total = jnp.float32(0.0)
+        for i, cfg in enumerate(self.div_cfg):
+            s = cfg.settings
+            nstates = cfg.div.n_states
+            pi = (state["pi"][cfg.pi_group] if cfg.pi_group >= 0
+                  else jnp.asarray(cfg.fixed_pi, jnp.float32))
+            if cfg.div.dtype in (DataType.DNA, DataType.RNA):
+                if s.nst == "1":
+                    Q = nuc_q_nst1(pi)
+                elif s.nst == "2":
+                    Q = nuc_q_nst2(state["tratio"][cfg.tratio_group], pi)
+                else:
+                    Q = nuc_q_gtr(state["revmat"][cfg.revmat_group], pi)
+            elif cfg.div.dtype is DataType.RESTRICTION:
+                Q = reversible_q(jnp.ones((1,)), pi)
+            elif cfg.div.dtype is DataType.STANDARD:
+                Q = mk_q(nstates)
+                pi = jnp.full((nstates,), 1.0 / nstates)
+            else:
+                raise NotImplementedError(
+                    f"datatype {cfg.div.dtype} not yet wired")
+            lam, U, Uinv = eigh_reversible(Q, pi)
+            if s.rates in ("gamma", "invgamma"):
+                rates = discrete_gamma(state["shape"][cfg.shape_group],
+                                       cfg.n_cats)
+            elif s.rates == "lnorm":
+                rates = discrete_lognormal(state["shape"][cfg.shape_group],
+                                           cfg.n_cats)
+            else:
+                rates = jnp.ones((1,))
+            pinv = (state["pinvar"][cfg.pinvar_group]
+                    if cfg.pinvar_group >= 0 else 0.0)
+            if cfg.pinvar_group >= 0:
+                # gamma rates describe the variable fraction; reference
+                # applies them unscaled (likelihood.c invgamma path)
+                cmask = self.const_masks[i]
+            else:
+                cmask = None
+            mult = 1.0
+            if self.ratemult_on:
+                mult = state["ratemult"][i] / self.div_char_frac[i]
+            total = total + division_loglik(
+                state["left"], state["right"], state["parent"],
+                state["blen"], self.tip_partials[i], self.weights[i],
+                lam, U, Uinv, pi, rates, pinv, cmask, self.n_tips,
+                rate_mult=mult)
+        return total
+
+    def log_prior(self, state):
+        lp = jnp.float32(0.0)
+        # branch lengths
+        mask = np.ones(self.n_nodes, bool)
+        mask[self.n_nodes - 1] = False
+        mask[0] = False
+        mask_j = jnp.asarray(mask)
+        bp = self.tree_settings.brlenspr
+        if bp.kind == "gammadir":
+            a_t, b_t, a_f, c_i = bp.params
+            interior = np.zeros(self.n_nodes, bool)
+            interior[self.n_tips:] = True
+            lp = lp + brlens_gammadir_lpdf(
+                state["blen"], mask_j, a_t, b_t, a_f, c_i,
+                jnp.asarray(interior) if c_i != 1.0 else None)
+        elif bp.kind == "exponential":
+            lp = lp + brlens_exponential_lpdf(state["blen"], mask_j,
+                                              bp.params[0])
+        elif bp.kind == "uniform":
+            lp = lp + brlens_uniform_lpdf(state["blen"], mask_j,
+                                          bp.params[0], bp.params[1])
+        else:
+            raise ValueError(f"brlenspr {bp.kind} not supported")
+        # grouped parameters
+        for (param, gid), pr in self.group_priors.items():
+            if param in ("pi", "revmat"):
+                x = state[param][gid]
+                alpha = jnp.full(x.shape, pr.params[0] if pr.params else 1.0)
+                lp = lp + dirichlet_lpdf(x, alpha)
+            elif param == "tratio":
+                # Beta prior on kappa/(kappa+1) with Jacobian 1/(1+kappa)^2
+                kappa = state["tratio"][gid]
+                x = kappa / (1.0 + kappa)
+                lp = lp + beta_lpdf(x, *pr.params) - \
+                    2.0 * jnp.log1p(kappa)
+            else:
+                lp = lp + _scalar_prior_lpdf(pr, state[param][gid])
+        if self.ratemult_on:
+            lp = lp + dirichlet_lpdf(
+                state["ratemult"],
+                jnp.ones((self.n_div,)))
+        return lp
+
+    # ------------------------------------------------------------------
+    # generation step
+
+    def _chain_step(self, key, state, heat, tuning_row):
+        """One generation for one chain. Returns (state, accepted, move_idx)."""
+        k_sel, k_move, k_acc = jax.random.split(key, 3)
+        move_idx = jax.random.categorical(k_sel, self.move_logits)
+        cur = {k: v for k, v in state.items() if k not in ("lnL", "lnP")}
+
+        def apply(i):
+            def f(args):
+                key, st, tun = args
+                return self.moves[i].fn(key, st, tun)
+            return f
+
+        new, lnH = jax.lax.switch(
+            move_idx, [apply(i) for i in range(len(self.moves))],
+            (k_move, cur, tuning_row[move_idx]))
+        lnL = self.log_likelihood(new)
+        lnP = self.log_prior(new)
+        ln_r = heat * (lnL - state["lnL"] + lnP - state["lnP"]) + lnH
+        ln_r = jnp.where(jnp.isnan(ln_r), NEG_INF, ln_r)
+        accept = jnp.log(jax.random.uniform(k_acc)) < ln_r
+        new["lnL"], new["lnP"] = lnL, lnP
+        out = jax.tree.map(
+            lambda a, b: jnp.where(accept, a, b), new, state)
+        return out, accept, move_idx
+
+    def _swap_step(self, key, states, temp_id, swap_tries, swap_accepts):
+        """One swap attempt per run between two random chains (reference
+        AttemptSwap, src/mcmc.c:591; acceptance math :718)."""
+        nc = self.mcmc.nchains
+        lam = self.mcmc.temp
+        lnL, lnP = states["lnL"], states["lnP"]
+        for r in range(self.mcmc.nruns):
+            key, k1, k1b, k2 = jax.random.split(key, 4)
+            i = jax.random.randint(k1, (), 0, nc)
+            j_off = jax.random.randint(k1b, (), 1, nc)
+            j = (i + j_off) % nc
+            a, b = r * nc + i, r * nc + j
+            beta_a = 1.0 / (1.0 + lam * temp_id[a])
+            beta_b = 1.0 / (1.0 + lam * temp_id[b])
+            ln_r = (beta_a - beta_b) * ((lnL[b] + lnP[b]) - (lnL[a] + lnP[a]))
+            acc = jnp.log(jax.random.uniform(k2)) < ln_r
+            ta, tb = temp_id[a], temp_id[b]
+            temp_id = temp_id.at[a].set(jnp.where(acc, tb, ta))
+            temp_id = temp_id.at[b].set(jnp.where(acc, ta, tb))
+            lo = jnp.minimum(ta, tb)
+            hi = jnp.maximum(ta, tb)
+            swap_tries = swap_tries.at[r, lo, hi].add(1)
+            swap_accepts = swap_accepts.at[r, lo, hi].add(
+                acc.astype(jnp.int32))
+        return temp_id, swap_tries, swap_accepts
+
+    def _autotune(self, bk):
+        """Batch autotune toward target acceptance (diminishing adaptation;
+        role of reference Autotune* fns, src/mcmc.c:16916-16931)."""
+        rate = bk["accepts"] / jnp.maximum(bk["tries"], 1)
+        step = jnp.minimum(0.5, 1.0 / jnp.sqrt(1.0 + bk["batch"]))
+        targets = jnp.asarray([m.target for m in self.moves])
+        direction = jnp.asarray([float(m.direction) for m in self.moves])
+        tunable = jnp.asarray([1.0 if m.tunable else 0.0
+                               for m in self.moves])
+        factor = jnp.exp(step * direction * (rate - targets) * tunable)
+        tuning = bk["tuning"] * jnp.where(bk["tries"] > 0, factor, 1.0)
+        tmin = jnp.asarray([m.tmin for m in self.moves])
+        tmax = jnp.asarray([m.tmax for m in self.moves])
+        tuning = jnp.clip(tuning, tmin, tmax)
+        return {**bk, "tuning": tuning,
+                "tries": jnp.zeros_like(bk["tries"]),
+                "accepts": jnp.zeros_like(bk["accepts"]),
+                "batch": bk["batch"] + 1}
+
+    @partial(jax.jit, static_argnums=(0, 3))
+    def run_block(self, states, bk, n_gens: int):
+        """Advance all chains n_gens generations on device."""
+        nm = len(self.moves)
+        lam = self.mcmc.temp
+
+        def gen(carry, g):
+            states, bk = carry
+            key = jax.random.fold_in(bk["key"], g)
+            keys = jax.random.split(key, self.mcmc.n_chains_total)
+            heats = 1.0 / (1.0 + lam * bk["temp_id"].astype(jnp.float32))
+            states, accepted, move_idx = jax.vmap(
+                self._chain_step)(keys, states, heats, bk["tuning"])
+            onehot = jax.nn.one_hot(move_idx, nm, dtype=jnp.int32)
+            bk = {**bk,
+                  "tries": bk["tries"] + onehot,
+                  "accepts": bk["accepts"]
+                  + onehot * accepted[:, None].astype(jnp.int32),
+                  "tries_total": bk["tries_total"] + onehot,
+                  "accepts_total": bk["accepts_total"]
+                  + onehot * accepted[:, None].astype(jnp.int32)}
+            if self.mcmc.nchains > 1:
+                skey = jax.random.fold_in(bk["swap_key"], g)
+                temp_id, st, sa = self._swap_step(
+                    skey, states, bk["temp_id"], bk["swap_tries"],
+                    bk["swap_accepts"])
+                bk = {**bk, "temp_id": temp_id, "swap_tries": st,
+                      "swap_accepts": sa}
+            if self.mcmc.tune:
+                bk = jax.lax.cond(
+                    (g + 1) % self.mcmc.tunefreq == 0,
+                    self._autotune, lambda b: b, bk)
+            return (states, bk), None
+
+        gen0 = bk["gen"]
+        (states, bk), _ = jax.lax.scan(
+            gen, (states, bk), gen0 + jnp.arange(n_gens))
+        bk = {**bk, "gen": gen0 + n_gens}
+        return states, bk
+
+    # ------------------------------------------------------------------
+    # host-side helpers
+
+    def cold_indices(self, bk) -> list[int]:
+        """Chain-slot index of the cold chain of each run."""
+        tid = np.asarray(bk["temp_id"])
+        nc = self.mcmc.nchains
+        return [int(r * nc + np.argmin(tid[r * nc:(r + 1) * nc]))
+                for r in range(self.mcmc.nruns)]
+
+    def extract_tree(self, states, slot: int) -> Tree:
+        return Tree(
+            parent=np.asarray(states["parent"][slot]),
+            left=np.asarray(states["left"][slot]),
+            right=np.asarray(states["right"][slot]),
+            blen=np.asarray(states["blen"][slot], np.float64),
+            n_tips=self.n_tips, rooted=self.tree_settings.clock)

@@ -1,0 +1,231 @@
+"""MCMC proposal moves as pure traced functions.
+
+Every move maps ``(key, state, tuning) -> (new_state, ln_hastings)`` where
+``state`` is the flat chain-state dict (see engine.py).  Prior ratios are
+NOT returned: the engine recomputes the full log-prior and uses the
+difference (the reference instead returns analytic lnPriorRatio from each of
+its 91 Move_* functions, src/proposal.c; full recompute is cheap on TPU and
+removes a whole class of ratio bugs).
+
+Topology moves are array surgery on the (parent, left, right) node arrays
+under the unrooted root-at-tip-0 convention (see trees.py).  Out-of-bounds
+proposals return ``ln_hastings = -inf`` so the Metropolis step auto-rejects
+(the reference's abortMove pattern, src/mcmc.c:16805).
+
+References for behavior: Move_NNI src/proposal.c:8064, Move_ExtSPR
+src/proposal.c:2026, Move_BrLen multiplier, Move_TreeLen
+src/proposal.c:17136, Dirichlet moves src/proposal.c:390 ff.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+BRLEN_MIN = 1e-6
+BRLEN_MAX = 100.0
+
+
+def _masked_choice(key, mask):
+    """Uniform choice of an index where mask is True."""
+    logits = jnp.where(mask, 0.0, NEG_INF)
+    return jax.random.categorical(key, logits)
+
+
+def _replace_child(state, node, old, new):
+    """Replace child `old` of `node` with `new`; fix parent links."""
+    left = state["left"]
+    right = state["right"]
+    is_l = left[node] == old
+    left = left.at[node].set(jnp.where(is_l, new, left[node]))
+    right = right.at[node].set(jnp.where(is_l, right[node], new))
+    parent = state["parent"].at[new].set(node)
+    return {**state, "left": left, "right": right, "parent": parent}
+
+
+def _free_branch_mask(state, n_tips):
+    """Branches with a sampled length: every node except root and tip 0."""
+    n_nodes = 2 * n_tips - 1
+    mask = jnp.ones((n_nodes,), bool)
+    return mask.at[n_nodes - 1].set(False).at[0].set(False)
+
+
+def _subtree_mask(parent, v):
+    import math
+    n = parent.shape[-1]
+    idx = jnp.arange(n)
+    anc = jnp.where(parent < 0, idx, parent)
+    hit = idx == v
+    for _ in range(max(1, math.ceil(math.log2(n)))):
+        hit = hit | jnp.take(hit, anc)
+        anc = jnp.take(anc, anc)
+    return hit
+
+
+# ---------------------------------------------------------------------------
+# topology moves
+
+
+def move_nni(key, state, tuning, n_tips):
+    """Nearest-neighbor interchange across a random internal edge."""
+    root = 2 * n_tips - 2
+    parent, left, right = state["parent"], state["left"], state["right"]
+    k1, k2 = jax.random.split(key)
+    idx = jnp.arange(2 * n_tips - 1)
+    # v internal, not root, parent not root => (u,v) is an internal edge
+    mask = (idx >= n_tips) & (idx != root) & (parent != root)
+    v = _masked_choice(k1, mask)
+    u = parent[v]
+    s = jnp.where(left[u] == v, right[u], left[u])       # sibling of v
+    swap_left = jax.random.bernoulli(k2)
+    c = jnp.where(swap_left, left[v], right[v])           # child of v to swap
+    st = _replace_child(state, v, c, s)
+    st = _replace_child(st, u, s, c)
+    return st, jnp.float32(0.0)
+
+
+def move_spr(key, state, tuning, n_tips):
+    """Random subtree prune-and-regraft with uniform edge-proportion
+    reinsertion.  lnH = log(t_target / (t_sib + t_pruned_parent))."""
+    root = 2 * n_tips - 2
+    parent, left, right, blen = (state["parent"], state["left"],
+                                 state["right"], state["blen"])
+    k1, k2, k3 = jax.random.split(key, 3)
+    idx = jnp.arange(2 * n_tips - 1)
+    basal = left[root]
+    # prune candidates: any node except root, tip0, basal
+    vmask = (idx != root) & (idx != 0) & (idx != basal)
+    v = _masked_choice(k1, vmask)
+    p = parent[v]
+    g = parent[p]
+    s = jnp.where(left[p] == v, right[p], left[p])
+    merged = blen[s] + blen[p]
+    # regraft candidates: not in subtree(v), not root, not tip0, not p, not s
+    sub = _subtree_mask(parent, v)
+    wmask = (~sub) & (idx != root) & (idx != 0) & (idx != p) & (idx != s)
+    w = _masked_choice(k2, wmask)
+    t_w = blen[w]
+    u_split = jax.random.uniform(k3)
+
+    # surgery: detach p (attach s under g with merged length)
+    st = _replace_child(state, g, p, s)
+    st = {**st, "blen": st["blen"].at[s].set(merged)}
+    # insert p above w
+    gw = st["parent"][w]
+    st = _replace_child(st, gw, w, p)
+    st = _replace_child(st, p, s, w)   # p's non-v child slot now holds w
+    blen2 = st["blen"].at[p].set(u_split * t_w).at[w].set(
+        (1.0 - u_split) * t_w)
+    st = {**st, "blen": blen2}
+    lnH = jnp.log(jnp.maximum(t_w, 1e-35)) - \
+        jnp.log(jnp.maximum(merged, 1e-35))
+    ok = (jnp.sum(wmask) > 0) & (w != v)
+    return st, jnp.where(ok, lnH, NEG_INF)
+
+
+# ---------------------------------------------------------------------------
+# branch-length moves
+
+
+def move_blen_multiplier(key, state, tuning, n_tips):
+    """Multiply one random free branch by exp(lambda(u-1/2))."""
+    k1, k2 = jax.random.split(key)
+    mask = _free_branch_mask(state, n_tips)
+    v = _masked_choice(k1, mask)
+    m = jnp.exp(tuning * (jax.random.uniform(k2) - 0.5))
+    new = state["blen"][v] * m
+    st = {**state, "blen": state["blen"].at[v].set(new)}
+    ok = (new >= BRLEN_MIN) & (new <= BRLEN_MAX)
+    return st, jnp.where(ok, jnp.log(m), NEG_INF)
+
+
+def move_treelen_multiplier(key, state, tuning, n_tips):
+    """Scale all free branches; lnH = n_free * log m
+    (reference Move_TreeLen src/proposal.c:17136)."""
+    mask = _free_branch_mask(state, n_tips)
+    m = jnp.exp(tuning * (jax.random.uniform(key) - 0.5))
+    blen = jnp.where(mask, state["blen"] * m, state["blen"])
+    n_free = jnp.sum(mask)
+    ok = jnp.all(jnp.where(mask, (blen >= BRLEN_MIN) & (blen <= BRLEN_MAX),
+                           True))
+    st = {**state, "blen": blen}
+    return st, jnp.where(ok, n_free * jnp.log(m), NEG_INF)
+
+
+def move_node_slider(key, state, tuning, n_tips):
+    """Pick an internal non-root node; redistribute the two incident branch
+    lengths (its own and one child's) keeping the sum, by uniform slide."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    root = 2 * n_tips - 2
+    idx = jnp.arange(2 * n_tips - 1)
+    mask = (idx >= n_tips) & (idx != root) & (idx != state["left"][root])
+    v = _masked_choice(k1, mask)
+    c = jnp.where(jax.random.bernoulli(k2), state["left"][v],
+                  state["right"][v])
+    total = state["blen"][v] + state["blen"][c]
+    u = jax.random.uniform(k3)
+    new_v = u * total
+    blen = state["blen"].at[v].set(new_v).at[c].set(total - new_v)
+    ok = (new_v >= BRLEN_MIN) & (total - new_v >= BRLEN_MIN)
+    return {**state, "blen": blen}, jnp.where(ok, 0.0, NEG_INF)
+
+
+# ---------------------------------------------------------------------------
+# parameter moves (operate on one random row of a grouped parameter)
+
+
+def _dirichlet_proposal(key, old, conc):
+    """Propose new ~ Dirichlet(conc * old); return (new, lnH)."""
+    from .priors import dirichlet_lpdf
+    alpha_f = jnp.maximum(conc * old, 1e-4)
+    g = jax.random.gamma(key, alpha_f) + 1e-10
+    new = g / jnp.sum(g, -1, keepdims=True)
+    alpha_b = jnp.maximum(conc * new, 1e-4)
+    lnH = dirichlet_lpdf(old, alpha_b) - dirichlet_lpdf(new, alpha_f)
+    return new, lnH
+
+
+def make_simplex_move(field):
+    """Dirichlet move on one random group row of state[field]
+    (reference Move_Statefreqs / Move_Revmat_Dir, src/proposal.c)."""
+    def move(key, state, tuning, n_tips):
+        k1, k2 = jax.random.split(key)
+        arr = state[field]
+        n_groups = arr.shape[0]
+        gi = jax.random.randint(k1, (), 0, n_groups)
+        new_row, lnH = _dirichlet_proposal(k2, arr[gi], tuning)
+        return {**state, field: arr.at[gi].set(new_row)}, lnH
+    move.__name__ = f"move_{field}_dirichlet"
+    return move
+
+
+def make_multiplier_move(field, lo, hi):
+    """Multiplier move on one random element of a [n_groups] parameter."""
+    def move(key, state, tuning, n_tips):
+        k1, k2 = jax.random.split(key)
+        arr = state[field]
+        gi = jax.random.randint(k1, (), 0, arr.shape[0])
+        m = jnp.exp(tuning * (jax.random.uniform(k2) - 0.5))
+        new = arr[gi] * m
+        ok = (new >= lo) & (new <= hi)
+        return ({**state, field: arr.at[gi].set(new)},
+                jnp.where(ok, jnp.log(m), NEG_INF))
+    move.__name__ = f"move_{field}_multiplier"
+    return move
+
+
+def make_slider_move(field, lo, hi):
+    """Uniform-window slider with reflection at the bounds."""
+    def move(key, state, tuning, n_tips):
+        k1, k2 = jax.random.split(key)
+        arr = state[field]
+        gi = jax.random.randint(k1, (), 0, arr.shape[0])
+        delta = (jax.random.uniform(k2) - 0.5) * tuning
+        new = arr[gi] + delta
+        # reflect into [lo, hi]
+        span = hi - lo
+        t = jnp.mod(new - lo, 2 * span)
+        new = lo + jnp.where(t > span, 2 * span - t, t)
+        return {**state, field: arr.at[gi].set(new)}, jnp.float32(0.0)
+    move.__name__ = f"move_{field}_slider"
+    return move

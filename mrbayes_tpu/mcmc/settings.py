@@ -1,0 +1,76 @@
+"""Typed analysis settings — the structured equivalent of lset/prset/mcmc
+NEXUS commands (reference: src/model.c:3104 DoLset, :4595 DoPrset,
+src/mcmc.c:2270 DoMcmc parameter tables).  The NEXUS front end (cli.py)
+parses command files into these dataclasses.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class Prior:
+    kind: str                 # dirichlet|beta|exponential|uniform|gamma|fixed|lognormal|normal
+    params: tuple = ()
+
+
+@dataclass
+class DivisionSettings:
+    """Per-division model settings (lset + prset)."""
+    # lset
+    nst: str = "1"                    # "1" | "2" | "6" | "mixed"
+    rates: str = "equal"              # equal|gamma|propinv|invgamma|lnorm
+    ngammacat: int = 4
+    nucmodel: str = "4by4"            # 4by4|doublet|codon|protein
+    code: str = "universal"
+    covarion: bool = False
+    coding: str = "all"               # ascertainment bias (standard/restriction)
+    # prset
+    statefreqpr: Prior = field(default_factory=lambda: Prior("dirichlet", (1.0,)))
+    revmatpr: Prior = field(default_factory=lambda: Prior("dirichlet", (1.0,)))
+    tratiopr: Prior = field(default_factory=lambda: Prior("beta", (1.0, 1.0)))
+    shapepr: Prior = field(default_factory=lambda: Prior("exponential", (1.0,)))
+    pinvarpr: Prior = field(default_factory=lambda: Prior("uniform", (0.0, 1.0)))
+    aamodel: str = "poisson"          # protein: poisson|jones|dayhoff|mtrev|...
+    aamodelpr: Prior = field(default_factory=lambda: Prior("fixed", ()))
+    symdirihyperpr: Prior = field(default_factory=lambda: Prior("fixed", (-1.0,)))
+    ratepr: str = "fixed"             # fixed | variable
+
+
+@dataclass
+class TreeSettings:
+    """Tree model settings shared across divisions (round 1: one tree)."""
+    brlenspr: Prior = field(default_factory=lambda: Prior(
+        "gammadir", (1.0, 0.1, 1.0, 1.0)))    # reference default, bayes.c:820
+    topologypr: Prior = field(default_factory=lambda: Prior("uniform", ()))
+    clock: bool = False
+
+
+@dataclass
+class McmcSettings:
+    ngen: int = 1_000_000
+    nruns: int = 2
+    nchains: int = 4
+    temp: float = 0.1
+    swapfreq: int = 1
+    nswaps: int = 1
+    samplefreq: int = 500
+    printfreq: int = 1000
+    diagnfreq: int = 5000
+    diagnstat: str = "avgstddev"
+    minpartfreq: float = 0.10
+    relburnin: bool = True
+    burninfrac: float = 0.25
+    stoprule: bool = False
+    stopval: float = 0.05
+    seed: int = 1
+    swapseed: int = 2
+    filename: str = "out.nex"
+    checkfreq: int = 100000
+    append: bool = False
+    tune: bool = True
+    tunefreq: int = 100
+
+    @property
+    def n_chains_total(self) -> int:
+        return self.nruns * self.nchains

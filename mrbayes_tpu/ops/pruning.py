@@ -44,8 +44,16 @@ def division_loglik(left: jnp.ndarray, right: jnp.ndarray,
     k = cat_rates.shape[0]
     dtype = tip_partials.dtype
 
-    # P(t) for the edge above every node: [n_nodes, K, S, S]
-    tau = blen.astype(dtype) * jnp.asarray(rate_mult, dtype)
+    # P(t) for the edge above every node: [n_nodes, K, S, S].
+    # With +I the variable-class rate is scaled by 1/(1-pinv) so branch
+    # lengths stay in expected-substitutions-per-site units averaged over
+    # the invariable mixture (reference: src/likelihood.c:9309-9310
+    # "baseRate /= (1.0 - pInvar)").
+    pinv0 = jnp.asarray(pinv, dtype)
+    base = jnp.asarray(rate_mult, dtype)
+    if const_mask is not None:
+        base = base / jnp.maximum(1.0 - pinv0, 1e-6)
+    tau = blen.astype(dtype) * base
     eff = tau[:, None] * cat_rates[None, :].astype(dtype)
     P = transition_probs(lam.astype(dtype), U.astype(dtype),
                          Uinv.astype(dtype), eff)

@@ -31,10 +31,12 @@ def loglik(tree, tip_partials, weights, Q, pi, cat_rates, pinv=0.0,
     n = tree.n_tips
     npat, s = tip_partials.shape[1:]
     K = len(cat_rates)
+    # MrBayes semantics: with +I the variable-class rate is 1/(1-pinv)
+    base = rate_mult / (1.0 - pinv) if pinv > 0 else rate_mult
     P = np.zeros((tree.n_nodes, K, s, s))
     for v in range(tree.n_nodes):
         for c in range(K):
-            P[v, c] = expm(Q * tree.blen[v] * cat_rates[c] * rate_mult)
+            P[v, c] = expm(Q * tree.blen[v] * cat_rates[c] * base)
     cl = np.zeros((tree.n_nodes, npat, K, s))
     cl[:n] = tip_partials[:, :, None, :]
     for v in tree.postorder():
