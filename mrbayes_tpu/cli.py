@@ -1,0 +1,610 @@
+"""``mb``-style command interpreter: runs reference NEXUS batch files.
+
+Implements the command surface of the reference interpreter
+(src/command.c commands[] table, 62 commands) for the subset wired into the
+TPU engine: execute, set, lset, prset, link/unlink, partition, charset,
+taxset, exclude/include, outgroup, mcmc/mcmcp, sump, sumt, showmodel,
+showmatrix, about/version, log, quit.  Batch mode: ``python -m
+mrbayes_tpu.cli file.nex``; interactive mode without arguments.
+"""
+from __future__ import annotations
+
+import os
+import sys
+from dataclasses import dataclass, field, replace
+
+import numpy as np
+
+from .data import DataSet, make_divisions, parse_char_range
+from .mcmc.engine import Engine
+from .mcmc.settings import (DivisionSettings, McmcSettings, Prior,
+                            TreeSettings)
+from .nexus.lexer import TokenStream, tokenize
+from .nexus.parser import NexusFile, read_nexus_file
+
+
+@dataclass
+class Environment:
+    nexus: NexusFile | None = None
+    data_path: str | None = None
+    charsets: dict = field(default_factory=dict)
+    taxsets: dict = field(default_factory=dict)
+    partitions: dict = field(default_factory=dict)  # name -> list[list[int]]
+    partition_names: dict = field(default_factory=dict)
+    current_partition: str | None = None
+    excluded: set = field(default_factory=set)
+    # settings per user-division (list index = user division)
+    div_settings: list = field(default_factory=list)
+    tree_settings: TreeSettings = field(default_factory=TreeSettings)
+    mcmc: McmcSettings = field(default_factory=McmcSettings)
+    links: dict = field(default_factory=dict)   # param -> list[int] per div
+    outgroup: int = 0
+    seed: int = 1
+    swapseed: int = 2
+    autoclose: bool = True
+    nowarnings: bool = True
+    quit_requested: bool = False
+    logfile = None
+
+    def n_user_divs(self) -> int:
+        if self.current_partition:
+            return len(self.partitions[self.current_partition])
+        return 1
+
+    def ensure_div_settings(self):
+        n = self.n_user_divs()
+        while len(self.div_settings) < n:
+            self.div_settings.append(DivisionSettings())
+        del self.div_settings[n:]
+
+
+class CommandError(Exception):
+    pass
+
+
+PARAM_ALIASES = {
+    "statefreq": "pi", "statefreqpr": "pi", "revmat": "revmat",
+    "revmatpr": "revmat", "tratio": "tratio", "shape": "shape",
+    "pinvar": "pinvar", "ratemultiplier": "ratemult", "topology": "topology",
+    "brlens": "brlens", "aamodel": "aamodel",
+}
+
+
+class Interpreter:
+    def __init__(self, log=None):
+        self.env = Environment()
+        self._log_fn = log or self._default_log
+
+    def _default_log(self, msg: str):
+        print(msg)
+        if self.env.logfile:
+            self.env.logfile.write(msg + "\n")
+
+    def log(self, msg: str):
+        self._log_fn(msg)
+
+    # ------------------------------------------------------------------
+    def execute_file(self, path: str):
+        self.log(f"   Executing file \"{path}\"")
+        nf = read_nexus_file(path)
+        if nf.matrix is not None:
+            self.env.nexus = nf
+            self.env.data_path = path
+            self.env.mcmc.filename = path
+            self.env.div_settings = [DivisionSettings()]
+            self.env.current_partition = None
+            self.env.excluded = set()
+            self.log(f"   Matrix has {nf.matrix.ntax} taxa and "
+                     f"{nf.matrix.nchar} characters")
+        base = os.path.dirname(os.path.abspath(path))
+        for cmd in nf.commands:
+            self.run_command(cmd, base_dir=base)
+            if self.env.quit_requested:
+                break
+
+    def run_line(self, line: str, base_dir: str = "."):
+        toks = tokenize(line)
+        if toks:
+            self.run_command(toks, base_dir)
+
+    # ------------------------------------------------------------------
+    def run_command(self, toks: list[str], base_dir: str = "."):
+        name = toks[0].lower()
+        args = toks[1:]
+        handler = getattr(self, f"do_{name}", None)
+        if handler is None:
+            handler = self._abbrev_handler(name)
+        if handler is None:
+            self.log(f"   [!] Unknown command \"{name}\" (ignored)")
+            return
+        try:
+            handler(args, base_dir)
+        except CommandError as e:
+            self.log(f"   [!] Error in \"{name}\": {e}")
+            raise
+
+    def _abbrev_handler(self, name):
+        cands = [m for m in dir(self) if m.startswith("do_")
+                 and m[3:].startswith(name)]
+        if len(cands) == 1:
+            return getattr(self, cands[0])
+        return None
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _kv_pairs(args: list[str]):
+        """Split 'a = b c = (x,y) d = u:v(1,2)' token runs into
+        (key, value-token-list) pairs.  A new pair starts wherever a token
+        is followed by '='; value tokens (including parens/colons) accrue
+        to the current pair until the next such boundary."""
+        pairs = []
+        i = 0
+        cur = None
+        depth = 0
+        while i < len(args):
+            tok = args[i]
+            if tok == "(":
+                depth += 1
+            elif tok == ")":
+                depth = max(0, depth - 1)
+            starts_pair = (depth == 0 and i + 1 < len(args)
+                           and args[i + 1] == "=" and tok not in "()=,:")
+            if starts_pair:
+                cur = (tok.lower(), [])
+                pairs.append(cur)
+                i += 2
+                continue
+            if cur is None:
+                pairs.append((tok.lower(), []))
+            else:
+                cur[1].append(tok)
+            i += 1
+        return pairs
+
+    @staticmethod
+    def _parse_prior(tokens: list[str]) -> Prior:
+        """Parse 'exponential(10.0)' or 'dirichlet(1,1,1,1)' or 'fixed(equal)'
+        possibly split across tokens."""
+        text = "".join(tokens).lower()
+        if "(" in text:
+            kind, rest = text.split("(", 1)
+            rest = rest.rstrip(")")
+            params = []
+            for p in rest.split(","):
+                p = p.strip()
+                if not p:
+                    continue
+                try:
+                    params.append(float(p))
+                except ValueError:
+                    params.append(p)
+            return Prior(kind, tuple(params))
+        return Prior(text, ())
+
+    def _applyto(self, pairs) -> list[int]:
+        """Divisions targeted by an applyto=() clause (0-based)."""
+        self.env.ensure_div_settings()
+        n = self.env.n_user_divs()
+        for key, val in pairs:
+            if key == "applyto":
+                inner = [t for t in val if t not in "(),"]
+                if any(t.lower() == "all" for t in inner):
+                    return list(range(n))
+                return [int(t) - 1 for t in inner if t.isdigit()]
+        return list(range(n))
+
+    # ------------------------------------------------------------------
+    # commands
+
+    def do_execute(self, args, base_dir):
+        path = args[0].strip('"')
+        if not os.path.isabs(path):
+            cand = os.path.join(base_dir, path)
+            path = cand if os.path.exists(cand) else path
+        self.execute_file(path)
+
+    def do_set(self, args, base_dir):
+        for key, val in self._kv_pairs(args):
+            v = val[0].lower() if val else ""
+            if key == "autoclose":
+                self.env.autoclose = v.startswith("y")
+            elif key in ("nowarn", "nowarnings"):
+                self.env.nowarnings = v.startswith("y")
+            elif key == "seed":
+                self.env.seed = int(val[0])
+                self.env.mcmc.seed = int(val[0])
+            elif key == "swapseed":
+                self.env.swapseed = int(val[0])
+                self.env.mcmc.swapseed = int(val[0])
+            elif key == "partition":
+                name = val[0]
+                matches = [p for p in self.env.partitions
+                           if p.lower() == name.lower()]
+                if not matches:
+                    raise CommandError(f"unknown partition {name!r}")
+                self.env.current_partition = matches[0]
+                self.env.ensure_div_settings()
+                self.log(f"   Setting partition to {matches[0]} "
+                         f"({self.env.n_user_divs()} divisions)")
+            # usebeagle/beagle* silently accepted for compatibility
+
+    def do_charset(self, args, base_dir):
+        name = args[0]
+        rest = args[1:]
+        if rest and rest[0] == "=":
+            rest = rest[1:]
+        nchar = self.env.nexus.matrix.nchar
+        cols = self._expand_sets(rest, nchar)
+        self.env.charsets[name] = cols
+
+    def _expand_sets(self, toks, nchar):
+        """Expand tokens that may reference charset names or ranges."""
+        out = []
+        plain = []
+        for t in toks:
+            if t in self.env.charsets:
+                if plain:
+                    out.extend(parse_char_range(plain, nchar))
+                    plain = []
+                out.extend(self.env.charsets[t])
+            else:
+                plain.append(t)
+        if plain:
+            out.extend(parse_char_range(plain, nchar))
+        return out
+
+    def do_taxset(self, args, base_dir):
+        name = args[0]
+        rest = [t for t in args[1:] if t != "="]
+        taxa = self.env.nexus.taxa
+        ids = []
+        for t in rest:
+            if t in taxa:
+                ids.append(taxa.index(t))
+            elif t.isdigit():
+                ids.append(int(t) - 1)
+        self.env.taxsets[name] = ids
+
+    def do_partition(self, args, base_dir):
+        # partition name = N: ranges, ranges, ...
+        name = args[0]
+        rest = args[1:]
+        if rest and rest[0] == "=":
+            rest = rest[1:]
+        try:
+            colon = rest.index(":")
+        except ValueError:
+            raise CommandError("expected 'partition name = N: ...'")
+        n_sub = int(rest[colon - 1])
+        groups_toks = []
+        cur = []
+        for t in rest[colon + 1:]:
+            if t == ",":
+                groups_toks.append(cur)
+                cur = []
+            else:
+                cur.append(t)
+        if cur:
+            groups_toks.append(cur)
+        if len(groups_toks) != n_sub:
+            raise CommandError(
+                f"partition {name}: declared {n_sub} subsets, "
+                f"found {len(groups_toks)}")
+        nchar = self.env.nexus.matrix.nchar
+        subsets = [self._expand_sets(g, nchar) for g in groups_toks]
+        self.env.partitions[name] = subsets
+        self.log(f"   Defined partition \"{name}\" with {n_sub} subsets")
+
+    def do_exclude(self, args, base_dir):
+        nchar = self.env.nexus.matrix.nchar
+        self.env.excluded |= set(self._expand_sets(args, nchar))
+
+    def do_include(self, args, base_dir):
+        nchar = self.env.nexus.matrix.nchar
+        self.env.excluded -= set(self._expand_sets(args, nchar))
+
+    def do_outgroup(self, args, base_dir):
+        t = args[0]
+        taxa = self.env.nexus.taxa
+        self.env.outgroup = (taxa.index(t) if t in taxa else int(t) - 1)
+
+    def do_lset(self, args, base_dir):
+        pairs = self._kv_pairs(args)
+        targets = self._applyto(pairs)
+        for key, val in pairs:
+            if key == "applyto" or not val:
+                continue
+            v = "".join(val).lower()
+            for d in targets:
+                s = self.env.div_settings[d]
+                if key == "nst":
+                    s.nst = v
+                elif key == "rates":
+                    s.rates = v
+                elif key == "ngammacat":
+                    s.ngammacat = int(v)
+                elif key == "nucmodel":
+                    s.nucmodel = v
+                elif key == "code":
+                    s.code = v
+                elif key == "covarion":
+                    s.covarion = v.startswith("y")
+                elif key == "coding":
+                    s.coding = v
+                # parsmodel/omegavar etc: accepted, wired in later rounds
+
+    def do_prset(self, args, base_dir):
+        pairs = self._kv_pairs(args)
+        targets = self._applyto(pairs)
+        for key, val in pairs:
+            if key == "applyto" or not val:
+                continue
+            prior = self._parse_prior(val)
+            for d in targets:
+                s = self.env.div_settings[d]
+                if key in ("statefreqpr",):
+                    s.statefreqpr = prior
+                elif key == "revmatpr":
+                    s.revmatpr = prior
+                elif key == "tratiopr":
+                    s.tratiopr = prior
+                elif key == "shapepr":
+                    s.shapepr = prior
+                elif key == "pinvarpr":
+                    s.pinvarpr = prior
+                elif key == "ratepr":
+                    s.ratepr = ("variable" if prior.kind.startswith("var")
+                                or prior.kind == "dirichlet" else "fixed")
+                elif key == "aamodelpr":
+                    if prior.kind == "fixed" and prior.params:
+                        s.aamodel = str(prior.params[0])
+                    s.aamodelpr = prior
+                elif key == "brlenspr":
+                    self._set_brlenspr(val)
+                elif key == "topologypr":
+                    self.env.tree_settings.topologypr = prior
+
+    def _set_brlenspr(self, val):
+        text = "".join(val).lower()
+        # unconstrained:gammadir(...) | unconstrained:exp(10) | clock:...
+        if text.startswith("unconstrained"):
+            self.env.tree_settings.clock = False
+            sub = text.split(":", 1)[1] if ":" in text else "gammadir"
+            pr = self._parse_prior([sub])
+            kind = pr.kind
+            if kind in ("exponential", "exp"):
+                self.env.tree_settings.brlenspr = Prior(
+                    "exponential", pr.params or (10.0,))
+            elif kind == "uniform":
+                self.env.tree_settings.brlenspr = Prior(
+                    "uniform", pr.params or (1e-6, 100.0))
+            elif kind == "gammadir":
+                self.env.tree_settings.brlenspr = Prior(
+                    "gammadir", pr.params or (1.0, 0.1, 1.0, 1.0))
+            else:
+                raise CommandError(f"brlenspr {text!r} not supported yet")
+        elif text.startswith("clock"):
+            raise CommandError("clock models land in a later milestone")
+
+    def do_link(self, args, base_dir):
+        self._link_unlink(args, link=True)
+
+    def do_unlink(self, args, base_dir):
+        self._link_unlink(args, link=False)
+
+    def _link_unlink(self, args, link: bool):
+        self.env.ensure_div_settings()
+        n = self.env.n_user_divs()
+        for key, val in self._kv_pairs(args):
+            param = PARAM_ALIASES.get(key, key)
+            inner = [t for t in val if t not in "(),"]
+            if any(t.lower() == "all" for t in inner):
+                targets = list(range(n))
+            else:
+                targets = [int(t) - 1 for t in inner if t.isdigit()]
+            cur = self.env.links.get(param, [0] * n)
+            cur = (cur + [0] * n)[:n]
+            if link:
+                for d in targets:
+                    cur[d] = 0
+            else:
+                for d in targets:
+                    cur[d] = d + 1
+            self.env.links[param] = cur
+
+    # ------------------------------------------------------------------
+    def build_engine(self) -> Engine:
+        env = self.env
+        if env.nexus is None or env.nexus.matrix is None:
+            raise CommandError("no data matrix read in")
+        env.ensure_div_settings()
+        if env.current_partition:
+            subsets = env.partitions[env.current_partition]
+            divisions = make_divisions(env.nexus.matrix, subsets,
+                                       excluded=env.excluded)
+        else:
+            divisions = make_divisions(env.nexus.matrix,
+                                       excluded=env.excluded)
+        ds = DataSet(taxa=env.nexus.taxa, nchar=env.nexus.matrix.nchar,
+                     divisions=divisions, charsets=env.charsets,
+                     taxsets=env.taxsets)
+        div_settings = [replace(env.div_settings[d.user_index])
+                        for d in divisions]
+        links = None
+        if env.links:
+            links = {p: [groups[d.user_index] for d in divisions]
+                     for p, groups in env.links.items()}
+        for d, s in zip(divisions, div_settings):
+            self.log(f"   Division {d.index + 1} ({d.name}): "
+                     f"{d.npat} unique site patterns, nst={s.nst} "
+                     f"rates={s.rates}")
+        return Engine(ds, div_settings, env.tree_settings, env.mcmc,
+                      links=links)
+
+    def _set_mcmc_params(self, args):
+        mc = self.env.mcmc
+        for key, val in self._kv_pairs(args):
+            if not val:
+                continue
+            v = "".join(val)
+            vl = v.lower()
+            if key in ("ngen", "n"):
+                mc.ngen = int(float(v))
+            elif key == "nruns":
+                mc.nruns = int(v)
+            elif key == "nchains":
+                mc.nchains = int(v)
+            elif key == "temp":
+                mc.temp = float(v)
+            elif key == "samplefreq":
+                mc.samplefreq = int(v)
+            elif key == "printfreq":
+                mc.printfreq = int(v)
+            elif key == "diagnfreq":
+                mc.diagnfreq = int(v)
+            elif key == "swapfreq":
+                mc.swapfreq = int(v)
+            elif key == "nswaps":
+                mc.nswaps = int(v)
+            elif key == "burninfrac":
+                mc.burninfrac = float(v)
+            elif key == "relburnin":
+                mc.relburnin = vl.startswith("y")
+            elif key == "stoprule":
+                mc.stoprule = vl.startswith("y")
+            elif key == "stopval":
+                mc.stopval = float(v)
+            elif key in ("filename", "file"):
+                mc.filename = v
+            elif key == "checkfreq":
+                mc.checkfreq = int(v)
+            elif key == "append":
+                mc.append = vl.startswith("y")
+            elif key == "seed":
+                mc.seed = int(v)
+            elif key == "swapseed":
+                mc.swapseed = int(v)
+            elif key == "minpartfreq":
+                mc.minpartfreq = float(v)
+            elif key == "tune":
+                mc.tune = vl.startswith("y")
+
+    def do_mcmcp(self, args, base_dir):
+        self._set_mcmc_params(args)
+
+    def do_mcmc(self, args, base_dir):
+        from .mcmc.run import McmcRunner
+        self._set_mcmc_params(args)
+        eng = self.build_engine()
+        runner = McmcRunner(eng, log=self.log)
+        runner.run()
+        self._last_runner = runner
+
+    def do_sump(self, args, base_dir):
+        from .summarize.sump import sump
+        burn = self.env.mcmc.burninfrac
+        prefix = self.env.mcmc.filename
+        for key, val in self._kv_pairs(args):
+            if key == "burninfrac":
+                burn = float(val[0])
+            elif key in ("filename", "file"):
+                prefix = val[0]
+        sump(prefix, burninfrac=burn, log=self.log)
+
+    def do_sumt(self, args, base_dir):
+        from .summarize.sumt import sumt
+        burn = self.env.mcmc.burninfrac
+        prefix = self.env.mcmc.filename
+        allcompat = False
+        for key, val in self._kv_pairs(args):
+            if key == "burninfrac":
+                burn = float(val[0])
+            elif key in ("filename", "file"):
+                prefix = val[0]
+            elif key == "contype":
+                allcompat = "allcompat" in val[0].lower()
+        res = sumt(prefix, burninfrac=burn, log=self.log,
+                   allcompat=allcompat)
+        self.log("   Consensus tree written to "
+                 f"\"{prefix}.con.tre\"")
+
+    def do_showmodel(self, args, base_dir):
+        self.env.ensure_div_settings()
+        for i, s in enumerate(self.env.div_settings):
+            self.log(f"   Division {i + 1}: nst={s.nst} rates={s.rates} "
+                     f"ngammacat={s.ngammacat} statefreqpr="
+                     f"{s.statefreqpr.kind}{s.statefreqpr.params}")
+        ts = self.env.tree_settings
+        self.log(f"   Brlens: {ts.brlenspr.kind}{ts.brlenspr.params} "
+                 f"clock={ts.clock}")
+
+    def do_showmatrix(self, args, base_dir):
+        m = self.env.nexus.matrix
+        self.log(f"   Matrix: {m.ntax} x {m.nchar} ({m.fmt.datatype.value})")
+
+    def do_about(self, args, base_dir):
+        self.log("   mrbayes_tpu — TPU-native Bayesian phylogenetics "
+                 "(MrBayes 3.2 capability set)")
+
+    def do_version(self, args, base_dir):
+        from . import __version__
+        self.log(f"   Version {__version__}")
+
+    def do_log(self, args, base_dir):
+        for key, val in self._kv_pairs(args):
+            if key == "start":
+                fname = val[0] if val else "log.out"
+                self.env.logfile = open(fname, "a")
+            elif key == "stop":
+                if self.env.logfile:
+                    self.env.logfile.close()
+                    self.env.logfile = None
+            elif key in ("filename", "file") and val:
+                self.env.logfile = open(val[0], "a")
+
+    def do_quit(self, args, base_dir):
+        self.env.quit_requested = True
+
+    def do_help(self, args, base_dir):
+        cmds = sorted(m[3:] for m in dir(self) if m.startswith("do_"))
+        self.log("   Available commands: " + " ".join(cmds))
+
+
+BANNER = """
+                     mrbayes_tpu v{version}
+      TPU-native Bayesian inference of phylogeny
+      (capability set of MrBayes 3.2.8, rebuilt on JAX/XLA)
+"""
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    plat = os.environ.get("MB_PLATFORM")
+    if plat:  # e.g. MB_PLATFORM=cpu to bypass the TPU backend
+        import jax
+        jax.config.update("jax_platforms", plat)
+    from . import __version__
+    interp = Interpreter()
+    print(BANNER.format(version=__version__))
+    if argv:
+        for path in argv:
+            interp.execute_file(path)
+        return 0
+    # interactive REPL
+    while not interp.env.quit_requested:
+        try:
+            line = input("mrbayes_tpu > ")
+        except EOFError:
+            break
+        line = line.strip().rstrip(";")
+        if not line:
+            continue
+        try:
+            interp.run_line(line)
+        except Exception as e:  # REPL keeps going
+            print(f"   [!] {e}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -55,6 +55,7 @@ class Division:
     pattern_of_char: np.ndarray  # [n_division_chars] -> pattern index
     # standard data: per-pattern number of observed states (for k-state split)
     name: str = ""
+    user_index: int = 0          # index of the user-visible partition subset
 
     @property
     def ntax(self) -> int:
@@ -121,7 +122,8 @@ def make_divisions(matrix: CharacterMatrix,
             index=len(divisions), dtype=dt, n_states=_NSTATES[dt],
             patterns=pats, weights=w, char_ids=np.array(cols),
             pattern_of_char=inv,
-            name=(names[gi] if names and gi < len(names) else str(gi + 1))))
+            name=(names[gi] if names and gi < len(names) else str(gi + 1)),
+            user_index=gi))
     for i, d in enumerate(divisions):
         d.index = i
     return divisions
@@ -154,7 +156,7 @@ def _standard_subdivisions(sub: np.ndarray, cols: np.ndarray, gi: int,
             patterns=pats, weights=w, char_ids=cols[pick],
             pattern_of_char=inv,
             name=(names[gi] if names and gi < len(names) else str(gi + 1))
-                 + f".k{k}"))
+                 + f".k{k}", user_index=gi))
     return out
 
 

@@ -191,8 +191,10 @@ def make_simplex_move(field):
     def move(key, state, tuning, n_tips):
         k1, k2 = jax.random.split(key)
         arr = state[field]
-        n_groups = arr.shape[0]
-        gi = jax.random.randint(k1, (), 0, n_groups)
+        if arr.ndim == 1:          # the field itself is one simplex
+            new, lnH = _dirichlet_proposal(k2, arr, tuning)
+            return {**state, field: new}, lnH
+        gi = jax.random.randint(k1, (), 0, arr.shape[0])
         new_row, lnH = _dirichlet_proposal(k2, arr[gi], tuning)
         return {**state, field: arr.at[gi].set(new_row)}, lnH
     move.__name__ = f"move_{field}_dirichlet"

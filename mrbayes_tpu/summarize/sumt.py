@@ -1,0 +1,216 @@
+"""``sumt``: summarize .t tree-sample files.
+
+Reads Newick samples (ours or the reference's), applies burn-in, counts
+splits and topologies, builds the majority-rule (+compatible) consensus
+tree with mean branch lengths and support values, and writes
+.parts/.tstat/.vstat/.con.tre/.trprobs (reference: DoSumt src/sumpt.c:4899,
+ConTree :3230, TreeProb :8579).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..mcmc.diagnostics import SplitCounter, splits_of_tree
+from ..nexus.parser import read_nexus_file
+from ..trees import Tree, parse_newick
+from .sump import find_run_files
+
+
+def read_t_file(path: str, taxa_hint: list[str] | None = None):
+    nf = read_nexus_file(path)
+    taxa = taxa_hint
+    if nf.translate:
+        taxa = [nf.translate[k] for k in
+                sorted(nf.translate, key=lambda x: int(x))]
+    trees = [parse_newick(t.newick, taxa) for t in nf.trees]
+    return taxa, trees
+
+
+class TreeSummary:
+    def __init__(self, n_runs: int, taxa: list[str]):
+        self.taxa = taxa
+        self.n = len(taxa)
+        self.counter = SplitCounter(n_runs)
+        self.blen_sum: dict[frozenset, float] = {}
+        self.blen_sumsq: dict[frozenset, float] = {}
+        self.blen_count: dict[frozenset, int] = {}
+        self.topo_counts: dict[tuple, int] = {}
+        self.n_trees = 0
+
+    def add(self, run: int, t: Tree):
+        self.counter.add(run, t)
+        self.n_trees += 1
+        splits = []
+        # per-split branch lengths: map each edge to its normalized split
+        below = [set() for _ in range(t.n_nodes)]
+        for v in range(t.n_tips):
+            below[v] = {v}
+        for v in t.postorder():
+            below[v] = below[t.left[v]] | below[t.right[v]]
+        for v in range(t.n_nodes - 1):
+            if v == 0 and not t.rooted:
+                # tip0's pendant edge is carried by the basal node
+                continue
+            s = below[v]
+            length = float(t.blen[v])
+            if not t.rooted and t.parent[v] == t.root:
+                # basal edge: pendant edge of tip 0
+                s = {0}
+            key = self._norm(s)
+            self.blen_sum[key] = self.blen_sum.get(key, 0.0) + length
+            self.blen_sumsq[key] = self.blen_sumsq.get(key, 0.0) + length**2
+            self.blen_count[key] = self.blen_count.get(key, 0) + 1
+            if 1 < len(s) < self.n - 1:
+                splits.append(key)
+        topo = tuple(sorted(splits, key=sorted))
+        self.topo_counts[topo] = self.topo_counts.get(topo, 0) + 1
+
+    def _norm(self, s: set) -> frozenset:
+        if 0 in s and len(s) > 1:
+            return frozenset(set(range(self.n)) - s)
+        return frozenset(s)
+
+    # ---------------------------------------------------------- consensus
+    def consensus(self, allcompat: bool = False):
+        """Splits for the consensus: majority rule (>50%), optionally
+        extended with compatible lower-frequency splits."""
+        total = self.counter.n_trees.sum()
+        freq = {s: c.sum() / total for s, c in self.counter.counts.items()}
+        chosen: list[frozenset] = []
+        for s, f in sorted(freq.items(), key=lambda kv: -kv[1]):
+            if f > 0.5:
+                chosen.append(s)
+            elif allcompat and all(_compatible(s, c) for c in chosen):
+                chosen.append(s)
+        return chosen, freq
+
+    def consensus_newick(self, allcompat: bool = False,
+                         figtree: bool = False) -> str:
+        chosen, freq = self.consensus(allcompat)
+        n = self.n
+        # build containment forest: parent = smallest chosen split strictly
+        # containing the node's set; root = full set minus tip0
+        chosen_sorted = sorted(chosen, key=len)
+        children: dict[object, list] = {"root": []}
+        nodesets: list[tuple[frozenset, object]] = []
+        for s in chosen_sorted:
+            children[s] = []
+        for item in list(chosen_sorted) + [frozenset([i])
+                                           for i in range(1, n)]:
+            if isinstance(item, frozenset) and len(item) == 1 \
+                    and item in children:
+                continue
+            parent = None
+            for cand in sorted(chosen, key=len):
+                if len(cand) > len(item) and item < cand:
+                    parent = cand
+                    break
+            key = parent if parent is not None else "root"
+            children[key].append(item)
+        # remove duplicate singleton insertion for chosen singletons
+        def mean_blen(key):
+            c = self.blen_count.get(key, 0)
+            return self.blen_sum.get(key, 0.0) / c if c else 0.0
+
+        def sd_blen(key):
+            c = self.blen_count.get(key, 0)
+            if c < 2:
+                return 0.0
+            m = mean_blen(key)
+            var = self.blen_sumsq[key] / c - m * m
+            return float(np.sqrt(max(var, 0.0)))
+
+        def annot(key, f):
+            if not figtree:
+                return ""
+            return (f"[&prob={f:.8f},length_mean={mean_blen(key):.8e},"
+                    f"length_sd={sd_blen(key):.8e}]")
+
+        def render(item) -> str:
+            if isinstance(item, frozenset) and len(item) == 1:
+                (tip,) = item
+                key = frozenset([tip])
+                return (f"{tip + 1}{annot(key, 1.0)}:{mean_blen(key):.8f}")
+            kids = children[item]
+            inner = ",".join(render(k) for k in kids)
+            f = (self.counter.counts[item].sum() / self.counter.n_trees.sum()
+                 if item in self.counter.counts else 1.0)
+            return f"({inner}){annot(item, f)}:{mean_blen(item):.8f}"
+
+        top = ",".join(render(k) for k in children["root"])
+        tip0 = f"1{annot(frozenset([0]), 1.0)}:{mean_blen(frozenset([0])):.8f}"
+        return f"({tip0},{top});"
+
+
+def _compatible(a: frozenset, b: frozenset) -> bool:
+    return a.isdisjoint(b) or a <= b or b <= a
+
+
+def sumt(prefix: str, burninfrac: float = 0.25, log=print,
+         write_files: bool = True, allcompat: bool = False) -> dict:
+    files = find_run_files(prefix, "t")
+    if not files:
+        raise FileNotFoundError(f"no .t files match {prefix}")
+    taxa = None
+    per_run_trees = []
+    for path in files:
+        taxa, trees = read_t_file(path, taxa)
+        burn = int(len(trees) * burninfrac)
+        per_run_trees.append(trees[burn:])
+    ts = TreeSummary(len(files), taxa)
+    for r, trees in enumerate(per_run_trees):
+        for t in trees:
+            ts.add(r, t)
+    total = int(ts.counter.n_trees.sum())
+    log(f"   Summarizing trees: {total} samples from {len(files)} run(s)")
+    asdsf = ts.counter.asdsf()
+    if len(files) > 1:
+        # exact text the reference CI greps (testing/runtests.sh.in:127)
+        log(f"   Average standard deviation of split frequencies = "
+            f"{asdsf:.6f}")
+    chosen, freq = ts.consensus(allcompat)
+    log(f"   Credible splits (>50%): {len(chosen)}")
+    con = ts.consensus_newick(allcompat)
+    if write_files:
+        with open(f"{prefix}.parts", "w") as f:
+            f.write("ID\tPartition\tFreq\n")
+            for i, (s, fq) in enumerate(sorted(freq.items(),
+                                               key=lambda kv: -kv[1])):
+                bits = "".join("*" if j in s else "." for j in range(ts.n))
+                f.write(f"{i + 1}\t{bits}\t{fq:.6f}\n")
+        with open(f"{prefix}.tstat", "w") as f:
+            f.write("ID\tFreq\tProbability\n")
+            tot = sum(ts.topo_counts.values())
+            for i, (topo, c) in enumerate(sorted(ts.topo_counts.items(),
+                                                 key=lambda kv: -kv[1])):
+                f.write(f"{i + 1}\t{c}\t{c / tot:.6f}\n")
+        with open(f"{prefix}.vstat", "w") as f:
+            f.write("Partition\tMean\tSD\tFreq\n")
+            for s, fq in sorted(freq.items(), key=lambda kv: -kv[1]):
+                c = ts.blen_count.get(s, 0)
+                if not c:
+                    continue
+                m = ts.blen_sum[s] / c
+                var = ts.blen_sumsq[s] / c - m * m
+                bits = "".join("*" if j in s else "." for j in range(ts.n))
+                f.write(f"{bits}\t{m:.6e}\t{np.sqrt(max(var, 0)):.6e}\t"
+                        f"{fq:.6f}\n")
+        with open(f"{prefix}.con.tre", "w") as f:
+            f.write("#NEXUS\nbegin trees;\n   translate\n")
+            for i, name in enumerate(taxa):
+                sep = "," if i < len(taxa) - 1 else ";"
+                f.write(f"       {i + 1} {name}{sep}\n")
+            fig = ts.consensus_newick(allcompat, figtree=True)
+            f.write(f"   tree con_all_compat = [&U] {fig}\nend;\n")
+        with open(f"{prefix}.trprobs", "w") as f:
+            f.write("#NEXUS\n[Trees sorted by posterior probability]\n")
+            tot = sum(ts.topo_counts.values())
+            cum = 0.0
+            for i, (topo, c) in enumerate(sorted(ts.topo_counts.items(),
+                                                 key=lambda kv: -kv[1])):
+                cum += c / tot
+                f.write(f"[p = {c / tot:.6f}, P = {cum:.6f}]\n")
+                if cum > 0.99 or i > 100:
+                    break
+    return {"asdsf": asdsf, "consensus": con, "n_splits": len(chosen),
+            "split_freqs": freq, "summary": ts}
