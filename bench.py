@@ -1,0 +1,65 @@
+"""Benchmark: MCMC generations/sec on primates.nex GTR+I+G (BASELINE.json
+config 1), 1 run x 4 Metropolis-coupled chains, single chip.
+
+Baseline: reference MrBayes 3.2.8 (`/root/reference` built -O3, no SSE
+flags beyond defaults) on the same model/config: 20000 generations in
+3.89 s CPU = 5141 gens/sec (measured on this machine, 2026-08-17;
+see BASELINE.md).  vs_baseline > 1 means faster than the reference.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+"""
+import json
+import sys
+import time
+
+REF_GENS_PER_SEC_4CH = 5141.0   # reference CPU, 4 chains (measured)
+REF_GENS_PER_SEC_32CH = 643.0   # reference CPU scales ~1/nchains (serial)
+
+
+def main():
+    import jax
+    # persistent compile cache: first invocation pays the (tunnel) compile,
+    # later invocations start in seconds
+    jax.config.update("jax_compilation_cache_dir", "/tmp/mb_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import numpy as np
+
+    from mrbayes_tpu.data import DataSet, make_divisions
+    from mrbayes_tpu.mcmc.engine import Engine
+    from mrbayes_tpu.mcmc.settings import DivisionSettings, McmcSettings
+    from mrbayes_tpu.nexus.parser import read_nexus_file
+
+    nf = read_nexus_file("/root/reference/examples/primates.nex")
+    ds = DataSet(taxa=nf.taxa, nchar=nf.matrix.nchar,
+                 divisions=make_divisions(nf.matrix))
+
+    def measure(nchains: int, block: int = 500, blocks: int = 6) -> float:
+        eng = Engine(ds, [DivisionSettings(nst="6", rates="invgamma")],
+                     mcmc=McmcSettings(nruns=1, nchains=nchains, seed=3))
+        states, bk = eng.init_chains()
+        states, bk = eng.run_block(states, bk, block)   # compile + warmup
+        states["lnL"].block_until_ready()
+        t0 = time.time()
+        for _ in range(blocks):
+            states, bk = eng.run_block(states, bk, block)
+        states["lnL"].block_until_ready()
+        rate = block * blocks / (time.time() - t0)
+        # sanity: chains must have moved toward the posterior
+        assert float(np.max(np.asarray(states["lnL"]))) > -8500.0
+        return rate
+
+    r4 = measure(4)
+    r32 = measure(32)
+    print(json.dumps({
+        "metric": "mcmc_generations_per_sec_primates_gtr_ig_4chains",
+        "value": round(r4, 1),
+        "unit": "gens/sec",
+        "vs_baseline": round(r4 / REF_GENS_PER_SEC_4CH, 3),
+        "chains32_gens_per_sec": round(r32, 1),
+        "chains32_vs_baseline": round(r32 / REF_GENS_PER_SEC_32CH, 3),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data import DataSet, Division
-from ..models.rates import discrete_gamma, discrete_lognormal
+from ..models.rates import GammaRateTable, discrete_lognormal
 from ..models.substitution import (mk_q, nuc_q_gtr, nuc_q_nst1, nuc_q_nst2,
                                    reversible_q)
 from ..nexus.datatypes import DataType
@@ -162,6 +162,11 @@ class Engine:
                     self.group_priors.setdefault((param, gid), pr)
 
     def _build_data_tensors(self):
+        self._gamma_tables = {}
+        for cfg in self.div_cfg:
+            if cfg.settings.rates in ("gamma", "invgamma") \
+                    and cfg.n_cats not in self._gamma_tables:
+                self._gamma_tables[cfg.n_cats] = GammaRateTable(cfg.n_cats)
         self.tip_partials = []
         self.weights = []
         self.const_masks = []
@@ -311,8 +316,8 @@ class Engine:
                     f"datatype {cfg.div.dtype} not yet wired")
             lam, U, Uinv = eigh_reversible(Q, pi)
             if s.rates in ("gamma", "invgamma"):
-                rates = discrete_gamma(state["shape"][cfg.shape_group],
-                                       cfg.n_cats)
+                rates = self._gamma_tables[cfg.n_cats](
+                    state["shape"][cfg.shape_group])
             elif s.rates == "lnorm":
                 rates = discrete_lognormal(state["shape"][cfg.shape_group],
                                            cfg.n_cats)

@@ -18,11 +18,19 @@ def eigh_reversible(Q: jnp.ndarray, pi: jnp.ndarray):
     """Decompose a (batched) reversible generator.
 
     Returns (lam, U, Uinv) with Q = U diag(lam) Uinv, all real.
+    Small state spaces (<=8: nucleotide, binary, standard) use a
+    fixed-sweep Jacobi solver — a straight-line graph that compiles and
+    runs far faster inside the MCMC step than QDWH ``eigh``; larger ones
+    (protein 20, codon 61) use ``jnp.linalg.eigh``.
     """
+    from .jacobi import jacobi_eigh
     sq = jnp.sqrt(jnp.maximum(pi, 1e-30))
     B = Q * (sq[..., :, None] / sq[..., None, :])
     B = 0.5 * (B + jnp.swapaxes(B, -1, -2))  # symmetrize numerical noise
-    lam, V = jnp.linalg.eigh(B)
+    if B.shape[-1] <= 8:
+        lam, V = jacobi_eigh(B)
+    else:
+        lam, V = jnp.linalg.eigh(B)
     U = V / sq[..., :, None]
     Uinv = jnp.swapaxes(V, -1, -2) * sq[..., None, :]
     return lam, U, Uinv

@@ -1,0 +1,101 @@
+"""Multi-chip sharding of the MC3 engine.
+
+Two parallel axes (SURVEY §2.2):
+
+* ``chains`` — runs×chains data-parallel (the reference's only distributed
+  axis: one MC3 chain per MPI rank, src/mcmc.c:18331).  The chain axis of
+  every state/bookkeeping array is sharded; the swap step reads each
+  chain's (lnL, lnPrior) scalars, so XLA inserts the tiny all-gather the
+  reference does with 5-double MPI_Isend/Irecv pairs (src/mcmc.c:831-856).
+* ``sites`` — site-pattern model parallelism *within* a chain, the axis the
+  reference left unbuilt (dead code at src/mcmc.c:18358-18372).  Pattern
+  tensors are sharded on the pattern dimension; the root log-likelihood
+  reduction becomes a psum over ICI inserted by GSPMD.
+
+No explicit collectives are written: the engine is pure jit, and sharding
+in = sharding propagated.  Multi-host runs use ``jax.distributed`` +
+the same named shardings.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..mcmc.engine import Engine
+
+
+def make_mesh(n_chain_shards: int, n_site_shards: int = 1,
+              devices=None) -> Mesh:
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    need = n_chain_shards * n_site_shards
+    if devices.size < need:
+        raise ValueError(f"need {need} devices, have {devices.size}")
+    grid = devices[:need].reshape(n_chain_shards, n_site_shards)
+    return Mesh(grid, ("chains", "sites"))
+
+
+def _pad_to_multiple(x: np.ndarray, axis: int, m: int):
+    n = x.shape[axis]
+    pad = (-n) % m
+    if pad == 0:
+        return x, 0
+    width = [(0, 0)] * x.ndim
+    width[axis] = (0, pad)
+    return np.pad(x, width), pad
+
+
+def shard_engine_data(eng: Engine, mesh: Mesh) -> None:
+    """Re-place the engine's per-division pattern tensors with the pattern
+    dimension sharded over the ``sites`` mesh axis (zero-weight padding
+    keeps shapes divisible; padded patterns contribute exactly 0 to lnL)."""
+    n_shards = mesh.shape["sites"]
+    if n_shards == 1:
+        return
+    tps, ws, cms = [], [], []
+    for tp, w, cm in zip(eng.tip_partials, eng.weights, eng.const_masks):
+        tp_h, _ = _pad_to_multiple(np.asarray(tp), 1, n_shards)
+        w_h, _ = _pad_to_multiple(np.asarray(w), 0, n_shards)
+        cm_h, _ = _pad_to_multiple(np.asarray(cm), 0, n_shards)
+        tps.append(jax.device_put(
+            tp_h, NamedSharding(mesh, P(None, "sites", None))))
+        ws.append(jax.device_put(w_h, NamedSharding(mesh, P("sites"))))
+        cms.append(jax.device_put(
+            cm_h, NamedSharding(mesh, P("sites", None))))
+    eng.tip_partials, eng.weights, eng.const_masks = tps, ws, cms
+
+
+def shard_chains(eng: Engine, mesh: Mesh, states: dict, bk: dict):
+    """Place chain-indexed arrays sharded over the ``chains`` axis;
+    cross-chain bookkeeping (temperature ids, swap stats, keys) is
+    replicated — the swap decision is computed identically everywhere,
+    mirroring the reference's shared swapSeed design (src/mcmc.c:5217)."""
+    chain_sharded = NamedSharding(mesh, P("chains"))
+    replicated = NamedSharding(mesh, P())
+
+    def place_state(x):
+        if x.ndim >= 1 and x.shape[0] == eng.mcmc.n_chains_total:
+            return jax.device_put(x, chain_sharded)
+        return jax.device_put(x, replicated)
+
+    states = jax.tree.map(place_state, states)
+    bk_out = {}
+    for k, v in bk.items():
+        if k in ("tuning", "tries", "accepts", "tries_total",
+                 "accepts_total"):
+            bk_out[k] = jax.device_put(v, chain_sharded)
+        else:
+            bk_out[k] = jax.device_put(v, replicated)
+    return states, bk_out
+
+
+def init_distributed(coordinator: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> None:
+    """Multi-host bring-up (replaces MPI_Init, reference src/bayes.c:177)."""
+    kwargs = {}
+    if coordinator:
+        kwargs = dict(coordinator_address=coordinator,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)

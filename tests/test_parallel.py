@@ -1,0 +1,65 @@
+"""Sharded-execution tests on the virtual 8-device CPU mesh (the analog of
+the reference CI's `mpirun -np 2` runs, testing/runtests.sh.in:38-47)."""
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mrbayes_tpu.data import DataSet, make_divisions
+from mrbayes_tpu.mcmc.engine import Engine
+from mrbayes_tpu.mcmc.settings import DivisionSettings, McmcSettings
+from mrbayes_tpu.parallel.mesh import (make_mesh, shard_chains,
+                                       shard_engine_data)
+
+
+@pytest.fixture(scope="module")
+def engine(primates):
+    ds = DataSet(taxa=primates.taxa, nchar=primates.matrix.nchar,
+                 divisions=make_divisions(primates.matrix))
+    return lambda **kw: Engine(
+        ds, [DivisionSettings(nst="6", rates="gamma")],
+        mcmc=McmcSettings(**{"nruns": 2, "nchains": 4, "seed": 5, **kw}))
+
+
+def test_chain_sharded_block_matches_unsharded(engine):
+    eng = engine()
+    states, bk = eng.init_chains()
+    s1, b1 = eng.run_block(states, bk, 20)
+    mesh = make_mesh(8, 1)
+    with mesh:
+        st, bk2 = shard_chains(eng, mesh, states, bk)
+        s2, b2 = eng.run_block(st, bk2, 20)
+    np.testing.assert_allclose(np.asarray(s1["lnL"]), np.asarray(s2["lnL"]),
+                               rtol=2e-4)
+    assert np.array_equal(np.asarray(b1["temp_id"]),
+                          np.asarray(b2["temp_id"]))
+
+
+def test_site_sharded_lnl_matches(engine):
+    eng_ref = engine(nruns=1, nchains=2)
+    states, bk = eng_ref.init_chains()
+    want = np.asarray(states["lnL"])
+    eng_sh = engine(nruns=1, nchains=2)
+    mesh = make_mesh(2, 4)
+    shard_engine_data(eng_sh, mesh)
+    with mesh:
+        st, bk2 = shard_chains(eng_sh, mesh, *eng_sh.init_chains())
+        got = np.asarray(jax.vmap(eng_sh.log_likelihood)(
+            {k: v for k, v in st.items() if k not in ("lnL", "lnP")}))
+    np.testing.assert_allclose(want, got, rtol=2e-4)
+
+
+def test_graft_entry_dryrun():
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as g
+    g.dryrun_multichip(8)
+
+
+def test_graft_entry_forward():
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as g
+    fn, args = g.entry()
+    v = jax.jit(fn)(*args)
+    assert float(v) < 0
