@@ -303,6 +303,27 @@ class Interpreter:
         nchar = self.env.nexus.matrix.nchar
         self.env.excluded -= set(self._expand_sets(args, nchar))
 
+    def do_ctype(self, args, base_dir):
+        # ctype ordered|unordered|irreversible: chars — stored; the ordered
+        # Mk variant lands with the wider standard-model work
+        kind = args[0].lower().rstrip(":")
+        rest = [t for t in args[1:] if t != ":"]
+        nchar = self.env.nexus.matrix.nchar
+        cols = self._expand_sets(rest, nchar)
+        self.env.charsets.setdefault("_ctype", {})
+        if isinstance(self.env.charsets.get("_ctype"), dict):
+            self.env.charsets["_ctype"][kind] = cols
+
+    def do_constraint(self, args, base_dir):
+        # constraint name [prob] = taxa — parsed and stored; enforcement
+        # arrives with the clock/calibration milestone
+        name = args[0]
+        rest = [t for t in args[1:] if t != "="]
+        self.env.taxsets[f"_constraint_{name}"] = rest
+
+    def do_calibrate(self, args, base_dir):
+        self.log("   [calibrate accepted; dating arrives with clock models]")
+
     def do_outgroup(self, args, base_dir):
         t = args[0]
         taxa = self.env.nexus.taxa

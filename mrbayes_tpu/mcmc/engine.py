@@ -54,6 +54,7 @@ class DivCfg:
     div: Division
     settings: DivisionSettings
     pi_group: int = -1          # -1: fixed (not sampled)
+    pi_field: str = "pi"        # state field holding the freqs ("pi"/"pi20")
     revmat_group: int = -1
     tratio_group: int = -1
     shape_group: int = -1
@@ -126,15 +127,35 @@ class Engine:
         for d, (div, s) in enumerate(zip(self.data.divisions, div_settings)):
             cfg = DivCfg(div=div, settings=s)
             is_nuc = div.dtype in (DataType.DNA, DataType.RNA)
-            if is_nuc or div.dtype is DataType.PROTEIN:
+            is_prot = div.dtype is DataType.PROTEIN
+            if is_prot:
+                cfg.pi_field = "pi20"
+            if div.dtype is DataType.RESTRICTION:
+                cfg.pi_field = "pi2"
                 if s.statefreqpr.kind == "dirichlet":
-                    cfg.pi_group = group_of("pi", d, repr(s.statefreqpr))
-                else:  # fixed(equal) / fixed(empirical)
-                    if s.statefreqpr.kind == "fixed" and s.statefreqpr.params:
-                        cfg.fixed_pi = np.asarray(s.statefreqpr.params)
-                    else:
-                        cfg.fixed_pi = np.full(div.n_states,
-                                               1.0 / div.n_states)
+                    cfg.pi_group = group_of("pi2", d, repr(s.statefreqpr))
+                else:
+                    cfg.fixed_pi = np.full(2, 0.5)
+            if is_prot and s.aamodel not in ("poisson", "equalin", "gtr"):
+                # empirical aa model: frequencies are part of the model and
+                # never sampled (reference: no pi columns in .p for
+                # aamodelpr=fixed(<empirical>))
+                from ..models.aa_models import AA_MODELS
+                cfg.fixed_pi = AA_MODELS[s.aamodel][1]
+            elif is_nuc or is_prot:
+                fixed_params = (s.statefreqpr.kind == "fixed"
+                                and s.statefreqpr.params)
+                if s.statefreqpr.kind == "dirichlet":
+                    cfg.pi_group = group_of(cfg.pi_field, d,
+                                            repr(s.statefreqpr))
+                elif fixed_params and s.statefreqpr.params[0] == "empirical":
+                    cfg.fixed_pi = self._empirical_freqs(div)
+                elif fixed_params and not isinstance(
+                        s.statefreqpr.params[0], str):
+                    cfg.fixed_pi = np.asarray(s.statefreqpr.params)
+                else:
+                    cfg.fixed_pi = np.full(div.n_states,
+                                           1.0 / div.n_states)
             if is_nuc and s.nst == "6":
                 cfg.revmat_group = group_of("revmat", d, repr(s.revmatpr))
             if is_nuc and s.nst == "2":
@@ -144,6 +165,8 @@ class Engine:
                 cfg.n_cats = s.ngammacat
             if s.rates in ("propinv", "invgamma"):
                 cfg.pinvar_group = group_of("pinvar", d, repr(s.pinvarpr))
+            if cfg.pi_group < 0 and cfg.fixed_pi is None:
+                cfg.fixed_pi = np.full(div.n_states, 1.0 / div.n_states)
             self.div_cfg.append(cfg)
 
         self.n_groups = {p: len(v) for p, v in counters.items()}
@@ -153,13 +176,21 @@ class Engine:
         self.group_priors: dict[tuple, Prior] = {}
         for cfg in self.div_cfg:
             s = cfg.settings
-            for param, gid, pr in [("pi", cfg.pi_group, s.statefreqpr),
+            for param, gid, pr in [(cfg.pi_field, cfg.pi_group,
+                                    s.statefreqpr),
                                    ("revmat", cfg.revmat_group, s.revmatpr),
                                    ("tratio", cfg.tratio_group, s.tratiopr),
                                    ("shape", cfg.shape_group, s.shapepr),
                                    ("pinvar", cfg.pinvar_group, s.pinvarpr)]:
                 if gid >= 0:
                     self.group_priors.setdefault((param, gid), pr)
+
+    def _empirical_freqs(self, div) -> np.ndarray:
+        """Observed state frequencies (ambiguity split uniformly)."""
+        bits = (div.patterns[..., None] >> np.arange(div.n_states)) & 1
+        w = bits / np.maximum(bits.sum(-1, keepdims=True), 1)
+        freq = (w * div.weights[None, :, None]).sum((0, 1))
+        return freq / freq.sum()
 
     def _build_data_tensors(self):
         self._gamma_tables = {}
@@ -199,6 +230,15 @@ class Engine:
             mk.append(MoveSpec("pi_dir",
                                partial(M.make_simplex_move("pi"), n_tips=n),
                                2.0, 100.0, 0.25, -1, 1.0, 1e5))
+        if self.n_groups.get("pi20"):
+            mk.append(MoveSpec("pi20_dir",
+                               partial(M.make_simplex_move("pi20"),
+                                       n_tips=n),
+                               2.0, 500.0, 0.25, -1, 1.0, 1e6))
+        if self.n_groups.get("pi2"):
+            mk.append(MoveSpec("pi2_dir",
+                               partial(M.make_simplex_move("pi2"), n_tips=n),
+                               1.5, 100.0, 0.25, -1, 1.0, 1e5))
         if self.n_groups.get("revmat"):
             mk.append(MoveSpec(
                 "revmat_dir",
@@ -243,6 +283,10 @@ class Engine:
         }
         if self.n_groups.get("pi"):
             st["pi"] = jnp.full((self.n_groups["pi"], 4), 0.25)
+        if self.n_groups.get("pi20"):
+            st["pi20"] = jnp.full((self.n_groups["pi20"], 20), 0.05)
+        if self.n_groups.get("pi2"):
+            st["pi2"] = jnp.full((self.n_groups["pi2"], 2), 0.5)
         if self.n_groups.get("revmat"):
             st["revmat"] = jnp.full((self.n_groups["revmat"], 6), 1.0 / 6)
         if self.n_groups.get("tratio"):
@@ -297,9 +341,13 @@ class Engine:
         for i, cfg in enumerate(self.div_cfg):
             s = cfg.settings
             nstates = cfg.div.n_states
-            pi = (state["pi"][cfg.pi_group] if cfg.pi_group >= 0
+            pi = (state[cfg.pi_field][cfg.pi_group] if cfg.pi_group >= 0
                   else jnp.asarray(cfg.fixed_pi, jnp.float32))
-            if cfg.div.dtype in (DataType.DNA, DataType.RNA):
+            if cfg.div.dtype is DataType.PROTEIN:
+                from ..models.aa_models import AA_MODELS
+                exch = AA_MODELS.get(s.aamodel, AA_MODELS["poisson"])[0]
+                Q = reversible_q(jnp.asarray(exch, jnp.float32), pi)
+            elif cfg.div.dtype in (DataType.DNA, DataType.RNA):
                 if s.nst == "1":
                     Q = nuc_q_nst1(pi)
                 elif s.nst == "2":
@@ -314,6 +362,12 @@ class Engine:
             else:
                 raise NotImplementedError(
                     f"datatype {cfg.div.dtype} not yet wired")
+            coding = {"all": "all", "variable": "variable",
+                      "noabsencesites": "noabsence",
+                      "nopresencesites": "nopresence"}.get(s.coding, "all")
+            if cfg.div.dtype not in (DataType.STANDARD,
+                                     DataType.RESTRICTION):
+                coding = "all"
             lam, U, Uinv = eigh_reversible(Q, pi)
             if s.rates in ("gamma", "invgamma"):
                 rates = self._gamma_tables[cfg.n_cats](
@@ -338,7 +392,7 @@ class Engine:
                 state["left"], state["right"], state["parent"],
                 state["blen"], self.tip_partials[i], self.weights[i],
                 lam, U, Uinv, pi, rates, pinv, cmask, self.n_tips,
-                rate_mult=mult)
+                rate_mult=mult, coding=coding)
         return total
 
     def log_prior(self, state):
@@ -366,7 +420,7 @@ class Engine:
             raise ValueError(f"brlenspr {bp.kind} not supported")
         # grouped parameters
         for (param, gid), pr in self.group_priors.items():
-            if param in ("pi", "revmat"):
+            if param in ("pi", "pi20", "pi2", "revmat"):
                 x = state[param][gid]
                 alpha = jnp.full(x.shape, pr.params[0] if pr.params else 1.0)
                 lp = lp + dirichlet_lpdf(x, alpha)

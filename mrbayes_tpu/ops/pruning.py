@@ -24,19 +24,19 @@ from .traversal import postorder_internal
 _TINY = 1e-30
 
 
-def division_loglik(left: jnp.ndarray, right: jnp.ndarray,
-                    parent: jnp.ndarray, blen: jnp.ndarray,
-                    tip_partials: jnp.ndarray, weights: jnp.ndarray,
-                    lam: jnp.ndarray, U: jnp.ndarray, Uinv: jnp.ndarray,
-                    pi: jnp.ndarray, cat_rates: jnp.ndarray,
-                    pinv: jnp.ndarray | float,
-                    const_mask: jnp.ndarray | None,
-                    n_tips: int,
-                    rate_mult: jnp.ndarray | float = 1.0) -> jnp.ndarray:
-    """Log-likelihood of one division.
+def division_site_loglik(left: jnp.ndarray, right: jnp.ndarray,
+                         parent: jnp.ndarray, blen: jnp.ndarray,
+                         tip_partials: jnp.ndarray,
+                         lam: jnp.ndarray, U: jnp.ndarray, Uinv: jnp.ndarray,
+                         pi: jnp.ndarray, cat_rates: jnp.ndarray,
+                         pinv: jnp.ndarray | float,
+                         const_mask: jnp.ndarray | None,
+                         n_tips: int,
+                         rate_mult: jnp.ndarray | float = 1.0) -> jnp.ndarray:
+    """Per-pattern log-likelihoods [P] for one division.
 
     Shapes: left/right/parent/blen [2n-1]; tip_partials [n, P, S];
-    weights [P]; lam [S]; U/Uinv [S, S]; pi [S]; cat_rates [K];
+    lam [S]; U/Uinv [S, S]; pi [S]; cat_rates [K];
     const_mask [P, S] (None when pinv is fixed at 0).
     """
     n_nodes = 2 * n_tips - 1
@@ -100,7 +100,49 @@ def division_loglik(left: jnp.ndarray, right: jnp.ndarray,
             jnp.logaddexp(jnp.log1p(-jnp.minimum(pinv, 1 - 1e-7)) + ln_var,
                           ln_inv),
             ln_var)
-    return jnp.sum(weights.astype(dtype) * ln_site)
+    return ln_site
+
+
+def division_loglik(left, right, parent, blen, tip_partials, weights,
+                    lam, U, Uinv, pi, cat_rates, pinv, const_mask,
+                    n_tips: int, rate_mult=1.0,
+                    coding: str = "all") -> jnp.ndarray:
+    """Weighted log-likelihood of one division, with optional
+    ascertainment-bias correction for datasets that by construction lack
+    certain patterns (reference: AddDummyChars src/model.c:176; coding
+    types src/bayes.h:524-534).
+
+    coding: "all" (none) | "variable" (no constant patterns; Mkv) |
+    "noabsence" | "nopresence" (restriction-site variants).
+    """
+    s = tip_partials.shape[-1]
+    if coding != "all":
+        # append s dummy constant patterns (one-hot columns for each state)
+        dummy = jnp.broadcast_to(jnp.eye(s, dtype=tip_partials.dtype),
+                                 (tip_partials.shape[0], s, s))
+        tip_partials = jnp.concatenate([tip_partials, dummy], axis=1)
+        if const_mask is not None:
+            const_mask = jnp.concatenate(
+                [const_mask, jnp.eye(s, dtype=const_mask.dtype)], axis=0)
+    ln_site = division_site_loglik(
+        left, right, parent, blen, tip_partials, lam, U, Uinv, pi,
+        cat_rates, pinv, const_mask, n_tips, rate_mult)
+    dtype = ln_site.dtype
+    if coding == "all":
+        return jnp.sum(weights.astype(dtype) * ln_site)
+    ln_dummy = ln_site[-s:]
+    ln_real = ln_site[:-s]
+    if coding == "variable":
+        p_unobs = jnp.sum(jnp.exp(ln_dummy))
+    elif coding == "noabsence":
+        p_unobs = jnp.exp(ln_dummy[0])
+    elif coding == "nopresence":
+        p_unobs = jnp.exp(ln_dummy[-1])
+    else:
+        raise ValueError(f"unknown coding {coding!r}")
+    w = weights.astype(dtype)
+    correction = jnp.sum(w) * jnp.log1p(-jnp.minimum(p_unobs, 1.0 - 1e-7))
+    return jnp.sum(w * ln_real) - correction
 
 
 def constant_state_mask(patterns, n_states: int):
