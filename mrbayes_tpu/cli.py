@@ -384,6 +384,34 @@ class Interpreter:
                     self._set_brlenspr(val)
                 elif key == "topologypr":
                     self.env.tree_settings.topologypr = prior
+                elif key == "clockvarpr":
+                    self.env.tree_settings.clockvarpr = prior.kind
+                elif key == "clockratepr":
+                    if prior.kind == "lognorm":
+                        prior = Prior("lognormal", prior.params)
+                    if prior.kind == "exp":
+                        prior = Prior("exponential", prior.params)
+                    self.env.tree_settings.clockratepr = prior
+                elif key == "treeagepr":
+                    self.env.tree_settings.treeagepr = prior
+                elif key in ("igrvarpr", "ilnvarpr", "tk02varpr", "wnvarpr"):
+                    if prior.kind == "exp":
+                        prior = Prior("exponential", prior.params)
+                    setattr(self.env.tree_settings, key, prior)
+                elif key == "speciationpr":
+                    self.env.tree_settings.speciationpr = prior
+                elif key == "extinctionpr":
+                    self.env.tree_settings.extinctionpr = prior
+                elif key == "popsizepr":
+                    self.env.tree_settings.popsizepr = prior
+                elif key == "growthpr":
+                    self.env.tree_settings.growthpr = prior
+                elif key == "sampleprob":
+                    self.env.tree_settings.sampleprob = float(
+                        prior.kind) if not prior.params else float(
+                        prior.params[0])
+                elif key == "samplestrat":
+                    self.env.tree_settings.samplestrat = prior.kind
 
     def _set_brlenspr(self, val):
         text = "".join(val).lower()
@@ -405,7 +433,16 @@ class Interpreter:
             else:
                 raise CommandError(f"brlenspr {text!r} not supported yet")
         elif text.startswith("clock"):
-            raise CommandError("clock models land in a later milestone")
+            self.env.tree_settings.clock = True
+            sub = text.split(":", 1)[1] if ":" in text else "uniform"
+            kind = sub.split("(")[0]
+            if kind in ("uniform", "birthdeath", "coalescence"):
+                self.env.tree_settings.clockpr = kind
+            elif kind in ("fossilization", "speciestreecoalescence"):
+                raise CommandError(
+                    f"clock prior {kind!r} lands in a later milestone")
+            else:
+                raise CommandError(f"unknown clock prior {kind!r}")
 
     def do_link(self, args, base_dir):
         self._link_unlink(args, link=True)

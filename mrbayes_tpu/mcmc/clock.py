@@ -1,0 +1,300 @@
+"""Clock (rooted, dated) tree machinery: priors, branch-rate models, moves.
+
+State layout for clock models: internal-node ages in time units
+(``age[n_nodes]``, tips at 0), an optional sampled clock rate, and optional
+per-branch rates for relaxed clocks.  Substitution branch lengths are
+derived: ``blen[v] = (age[parent v] - age[v]) * clockrate * r_v`` with
+``r_v`` = 1 (strict), the branch's rate (IGR/ILN/WN), or the endpoint mean
+(TK02).
+
+Priors reproduce the reference formulas exactly:
+- uniform clock: src/mcmc.c:9460 LnUniformPriorPr (uncalibrated branch)
+- birth-death (random rho-sampling): src/mcmc.c:8417 LnBirthDeathPriorPr
+  Random with LnP0/LnP1/LnP1Subsample helpers
+- coalescence (+growth): src/mcmc.c:9273 LnCoalescencePriorPr_Contemp
+- relaxed-clock branch-rate priors: src/mcmc.c:8226-8321 (TK02 lognormal
+  with log-variance nu*brlen; WN gamma(len/var, len/var); ILN lognormal
+  mean 1 var nu; IGR gamma(1/var, 1/var))
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import gammaln
+
+from .moves import NEG_INF, _masked_choice, _replace_child, _subtree_mask
+
+# ---------------------------------------------------------------------------
+# derived branch lengths
+
+
+def clock_blens(state: dict, n_tips: int, clockvar: str) -> jnp.ndarray:
+    """Substitution-unit branch lengths [n_nodes] from ages/rates."""
+    age = state["age"]
+    parent = state["parent"]
+    root = 2 * n_tips - 2
+    par_age = jnp.where(parent >= 0, age[jnp.maximum(parent, 0)], age[root])
+    dt = jnp.maximum(par_age - age, 0.0)
+    cr = state["clockrate"][0] if "clockrate" in state else 1.0
+    if clockvar == "strict":
+        r = 1.0
+    elif clockvar == "tk02":
+        r = 0.5 * (state["brate"]
+                   + jnp.where(parent >= 0,
+                               state["brate"][jnp.maximum(parent, 0)],
+                               state["brate"][root]))
+    else:                       # igr / iln / wn
+        r = state["brate"]
+    blen = dt * cr * r
+    return blen.at[root].set(0.0)
+
+
+# ---------------------------------------------------------------------------
+# tree priors on node ages
+
+
+def ln_uniform_clock(age, n_tips: int, treeage_lpdf) -> jnp.ndarray:
+    """Uniform node-age prior conditioned on tree age (reference
+    src/mcmc.c:9494: (n-1)log2 - log n! - log(n-1) - (n-2)log t1)."""
+    root = 2 * n_tips - 2
+    t1 = jnp.maximum(age[root], 1e-20)
+    n = float(n_tips)
+    lp = ((n - 1.0) * jnp.log(2.0) - gammaln(n + 1.0)
+          - jnp.log(n - 1.0) - (n - 2.0) * jnp.log(t1))
+    return lp + treeage_lpdf(t1)
+
+
+def _ln_p0(t, b, d):
+    return jnp.log(d * (1.0 - jnp.exp((d - b) * t))
+                   / (b - d * jnp.exp((d - b) * t)))
+
+
+def _ln_p1(t, b, d):
+    return (2.0 * jnp.log(b - d) - (b - d) * t
+            - 2.0 * jnp.log(b - d * jnp.exp((d - b) * t)))
+
+
+def _ln_p1_sub(t, b, d, f):
+    p1 = (b - d) / (f * b + (b * (1.0 - f) - d) * jnp.exp((d - b) * t))
+    return 2.0 * jnp.log(p1) + jnp.log(f) - (b - d) * t
+
+
+def ln_birthdeath(age, n_tips: int, net_div, turnover, samp_frac: float,
+                  treeage_lpdf) -> jnp.ndarray:
+    """Conditioned birth-death with rho-sampling, sampling strategy
+    'random' (reference src/mcmc.c:8417 LnBirthDeathPriorPrRandom,
+    Eq.3*Eq.A0 of Hohna et al. 2011)."""
+    root = 2 * n_tips - 2
+    eps = 1e-6
+    eR = jnp.clip(turnover, eps, 1.0 - eps)
+    lam = net_div / (1.0 - eR)
+    mu = eR * lam
+    n = float(n_tips)
+    m = float(round(n_tips / samp_frac))
+    t1 = jnp.maximum(age[root], 1e-20)
+    internal_ages = age[n_tips:root]          # all internal except root
+    lp = jnp.log(m - 1.0) - jnp.log(n - 1.0)
+    lp = lp + (m - 2.0) * (_ln_p0(t1, lam, mu) + jnp.log(lam) - jnp.log(mu))
+    lp = lp + 2.0 * (_ln_p1(t1, lam, mu)
+                     - jnp.log(1.0 - jnp.exp(_ln_p0(t1, lam, mu))))
+    sF = samp_frac
+    lp = lp + (n - 2.0) * (
+        jnp.log(lam * sF + (lam - lam * sF - mu) * jnp.exp((mu - lam) * t1))
+        - jnp.log(sF * (1.0 - jnp.exp((mu - lam) * t1))))
+    lp = lp + jnp.sum(jax.vmap(lambda t: _ln_p1_sub(t, lam, mu, sF))(
+        internal_ages))
+    return lp + treeage_lpdf(t1)
+
+
+def ln_coalescence(age, n_tips: int, theta, growth=0.0,
+                   clockrate=1.0) -> jnp.ndarray:
+    """Kingman coalescent (+ exponential growth) on coalescence times in
+    substitution units (reference src/mcmc.c:9273; theta absorbs the
+    mutation rate so depths are not divided by clockRate)."""
+    root = 2 * n_tips - 2
+    ct = jnp.sort(age[n_tips:root + 1] * clockrate)   # ascending
+    n = n_tips
+    ks = jnp.arange(n, 1, -1, dtype=age.dtype)        # n, n-1, ..., 2
+    prev = jnp.concatenate([jnp.zeros((1,), age.dtype), ct[:-1]])
+    growth = jnp.asarray(growth, age.dtype)
+    no_growth = jnp.sum(-(ks * (ks - 1.0) * (ct - prev)) / theta)
+    g = jnp.where(jnp.abs(growth) < 1e-6, 1e-6, growth)
+    with_growth = jnp.sum(growth * ct + (ks * (ks - 1.0) / (theta * g))
+                          * (jnp.exp(g * prev) - jnp.exp(g * ct)))
+    lp = jnp.where(jnp.abs(growth) < 1e-6, no_growth, with_growth)
+    return (n - 1.0) * jnp.log(2.0 / theta) + lp
+
+
+# ---------------------------------------------------------------------------
+# relaxed-clock branch-rate priors
+
+
+def ln_branch_rates_prior(state, n_tips: int, clockvar: str,
+                          var) -> jnp.ndarray:
+    """Sum of per-branch rate log-priors. ``var`` is the model's variance
+    parameter.  Branch set: every node except the root (edge above)."""
+    root = 2 * n_tips - 2
+    rates = state["brate"]
+    parent = state["parent"]
+    age = state["age"]
+    blen = clock_blens({**state, "brate": jnp.ones_like(rates)},
+                       n_tips, "strict")  # time*clockrate lengths
+    idx = jnp.arange(2 * n_tips - 1)
+    mask = idx != root
+    r = jnp.maximum(rates, 1e-30)
+    if clockvar == "igr":
+        a = 1.0 / var
+        lp = a * jnp.log(a) - gammaln(a) + (a - 1.0) * jnp.log(r) - a * r
+    elif clockvar == "iln":
+        # lognormal with mean 1, variance var (both natural scale):
+        # sigma2 = log(1+var); mu = -sigma2/2
+        s2 = jnp.log1p(var)
+        mu = -0.5 * s2
+        lp = (-jnp.log(r) - 0.5 * jnp.log(2 * jnp.pi * s2)
+              - (jnp.log(r) - mu) ** 2 / (2.0 * s2))
+    elif clockvar == "wn":
+        a = jnp.maximum(blen, 1e-10) / var
+        lp = a * jnp.log(a) - gammaln(a) + (a - 1.0) * jnp.log(r) - a * r
+    elif clockvar == "tk02":
+        # rate at node ~ LogNormal(mean=parent rate (natural),
+        # logvar = nu * brlen)
+        pr = jnp.maximum(
+            jnp.where(parent >= 0, rates[jnp.maximum(parent, 0)], 1.0),
+            1e-30)
+        s2 = jnp.maximum(var * jnp.maximum(blen, 1e-10), 1e-12)
+        mu = jnp.log(pr) - 0.5 * s2
+        lp = (-jnp.log(r) - 0.5 * jnp.log(2 * jnp.pi * s2)
+              - (jnp.log(r) - mu) ** 2 / (2.0 * s2))
+    else:
+        return jnp.asarray(0.0, rates.dtype)
+    return jnp.sum(jnp.where(mask, lp, 0.0))
+
+
+# ---------------------------------------------------------------------------
+# clock moves
+
+
+def move_age_slider(key, state, tuning, n_tips):
+    """Uniform slide of one internal (non-root) node age within
+    (max child age, parent age).  Hastings 0."""
+    root = 2 * n_tips - 2
+    k1, k2 = jax.random.split(key)
+    idx = jnp.arange(2 * n_tips - 1)
+    mask = (idx >= n_tips) & (idx != root)
+    v = _masked_choice(k1, mask)
+    age = state["age"]
+    lo = jnp.maximum(age[state["left"][v]], age[state["right"][v]])
+    hi = age[state["parent"][v]]
+    new = lo + (hi - lo) * jax.random.uniform(k2)
+    return {**state, "age": age.at[v].set(new)}, jnp.float32(0.0)
+
+
+def move_tree_stretch(key, state, tuning, n_tips):
+    """Multiply all internal ages by exp(lambda(u-1/2)); Hastings =
+    n_internal * log m (reference Move_TreeStretch src/proposal.c:17250)."""
+    m = jnp.exp(tuning * (jax.random.uniform(key) - 0.5))
+    idx = jnp.arange(2 * n_tips - 1)
+    mask = idx >= n_tips
+    age = jnp.where(mask, state["age"] * m, state["age"])
+    return {**state, "age": age}, jnp.sum(mask) * jnp.log(m)
+
+
+def move_root_age(key, state, tuning, n_tips):
+    """Multiplier on the root age only, children ages fixed."""
+    root = 2 * n_tips - 2
+    m = jnp.exp(tuning * (jax.random.uniform(key) - 0.5))
+    age = state["age"]
+    new = age[root] * m
+    lo = jnp.maximum(age[state["left"][root]], age[state["right"][root]])
+    ok = new > lo
+    return ({**state, "age": age.at[root].set(new)},
+            jnp.where(ok, jnp.log(m), NEG_INF))
+
+
+def move_nni_clock(key, state, tuning, n_tips):
+    """Rooted NNI: swap a child of v with v's sibling; valid only if the
+    sibling is younger than v (reference Move_NNIClock
+    src/proposal.c:8127)."""
+    root = 2 * n_tips - 2
+    parent, left, right = state["parent"], state["left"], state["right"]
+    age = state["age"]
+    k1, k2 = jax.random.split(key)
+    idx = jnp.arange(2 * n_tips - 1)
+    mask = (idx >= n_tips) & (idx != root)
+    v = _masked_choice(k1, mask)
+    u = parent[v]
+    s = jnp.where(left[u] == v, right[u], left[u])
+    c = jnp.where(jax.random.bernoulli(k2), left[v], right[v])
+    ok = age[v] > age[s]
+    st = _replace_child(state, v, c, s)
+    st = _replace_child(st, u, s, c)
+    return st, jnp.where(ok, 0.0, NEG_INF)
+
+
+def move_spr_clock(key, state, tuning, n_tips):
+    """Subtree prune-and-regraft preserving node ages: the pruned parent
+    node p reattaches on a target edge at a uniform age within the valid
+    window; Hastings accounts for target counts and window lengths
+    (role of reference Move_ExtSPRClock src/proposal.c:3014)."""
+    root = 2 * n_tips - 2
+    parent, left, right = state["parent"], state["left"], state["right"]
+    age = state["age"]
+    k1, k2, k3 = jax.random.split(key, 3)
+    idx = jnp.arange(2 * n_tips - 1)
+    # prune candidates: parent is not root, node is not root
+    vmask = (idx != root) & (parent != root) & (parent >= 0)
+    v = _masked_choice(k1, vmask)
+    p = parent[v]
+    g = parent[p]
+    s = jnp.where(left[p] == v, right[p], left[p])
+    sub = _subtree_mask(parent, v)
+    # regraft targets: any node w (not root, not in subtree, not p, not s)
+    # whose parent's age exceeds max(age[w], age[v])
+    par_age = jnp.where(parent >= 0, age[jnp.maximum(parent, 0)], -1.0)
+    win_lo = jnp.maximum(age, age[v])
+    wmask = ((~sub) & (idx != root) & (idx != p) & (idx != s)
+             & (parent >= 0) & (par_age > win_lo))
+    n_fwd = jnp.sum(wmask)
+    w = _masked_choice(k2, wmask)
+    gw = parent[w]
+    lo = jnp.maximum(age[w], age[v])
+    hi = age[gw]
+    new_age_p = lo + (hi - lo) * jax.random.uniform(k3)
+    # surgery
+    st = _replace_child(state, g, p, s)
+    st = _replace_child(st, gw, w, p)
+    st = _replace_child(st, p, s, w)
+    st = {**st, "age": st["age"].at[p].set(new_age_p)}
+    # reverse-move bookkeeping: from st, regrafting v's parent back onto
+    # edge (s, g): window = age[g] - max(age[s], age[v])
+    w_fwd = hi - lo
+    w_bwd = age[g] - jnp.maximum(age[s], age[v])
+    parent2 = st["parent"]
+    par_age2 = jnp.where(parent2 >= 0, st["age"][jnp.maximum(parent2, 0)],
+                         -1.0)
+    wmask2 = ((~_subtree_mask(parent2, v)) & (idx != root) & (idx != p)
+              & (idx != w) & (parent2 >= 0)
+              & (par_age2 > jnp.maximum(st["age"], st["age"][v])))
+    n_bwd = jnp.sum(wmask2)
+    ok = (n_fwd > 0) & (w_fwd > 0) & (w_bwd > 0)
+    lnH = (jnp.log(jnp.maximum(n_fwd, 1)) - jnp.log(jnp.maximum(n_bwd, 1))
+           + jnp.log(jnp.maximum(w_fwd, 1e-30))
+           - jnp.log(jnp.maximum(w_bwd, 1e-30)))
+    return st, jnp.where(ok, lnH, NEG_INF)
+
+
+def make_brate_multiplier(n_tips: int):
+    """Multiplier on one branch rate (non-root nodes)."""
+    root = 2 * n_tips - 2
+
+    def move(key, state, tuning, n_tips=n_tips):
+        k1, k2 = jax.random.split(key)
+        idx = jnp.arange(2 * n_tips - 1)
+        mask = idx != root
+        v = _masked_choice(k1, mask)
+        m = jnp.exp(tuning * (jax.random.uniform(k2) - 0.5))
+        new = state["brate"][v] * m
+        ok = (new > 1e-6) & (new < 1e4)
+        return ({**state, "brate": state["brate"].at[v].set(new)},
+                jnp.where(ok, jnp.log(m), NEG_INF))
+    return move

@@ -211,21 +211,72 @@ class Engine:
         self.div_char_frac = w / w.sum()   # ratemult weighting
 
     def _build_moves(self):
+        from . import clock as C
         mk = []
         n = self.n_tips
-        mk.append(MoveSpec("nni", partial(M.move_nni, n_tips=n), 5.0, 0.0,
-                           tunable=False))
-        mk.append(MoveSpec("spr", partial(M.move_spr, n_tips=n), 5.0, 0.0,
-                           tunable=False))
-        mk.append(MoveSpec("blen_mult",
-                           partial(M.move_blen_multiplier, n_tips=n),
-                           15.0, 2.0 * np.log(1.6), 0.25, 1, 1e-3, 20.0))
-        mk.append(MoveSpec("node_slider",
-                           partial(M.move_node_slider, n_tips=n),
-                           5.0, 0.0, tunable=False))
-        mk.append(MoveSpec("treelen_mult",
-                           partial(M.move_treelen_multiplier, n_tips=n),
-                           2.0, 2.0 * np.log(1.6), 0.25, 1, 1e-3, 10.0))
+        ts = self.tree_settings
+        if ts.clock:
+            mk.append(MoveSpec("nni_clock",
+                               partial(C.move_nni_clock, n_tips=n),
+                               5.0, 0.0, tunable=False))
+            mk.append(MoveSpec("spr_clock",
+                               partial(C.move_spr_clock, n_tips=n),
+                               5.0, 0.0, tunable=False))
+            mk.append(MoveSpec("age_slider",
+                               partial(C.move_age_slider, n_tips=n),
+                               15.0, 0.0, tunable=False))
+            mk.append(MoveSpec("tree_stretch",
+                               partial(C.move_tree_stretch, n_tips=n),
+                               3.0, 2.0 * np.log(1.1), 0.25, 1, 1e-4, 5.0))
+            mk.append(MoveSpec("root_age",
+                               partial(C.move_root_age, n_tips=n),
+                               3.0, 2.0 * np.log(1.2), 0.25, 1, 1e-4, 10.0))
+            if ts.clockratepr.kind != "fixed":
+                mk.append(MoveSpec(
+                    "clockrate_mult",
+                    partial(M.make_multiplier_move("clockrate", 1e-10, 1e6),
+                            n_tips=n), 3.0, 2.0 * np.log(1.5), 0.25, 1,
+                    1e-4, 10.0))
+            if ts.clockvarpr != "strict":
+                mk.append(MoveSpec("brate_mult",
+                                   partial(C.make_brate_multiplier(n)),
+                                   10.0, 2.0 * np.log(1.6), 0.25, 1,
+                                   1e-3, 20.0))
+                mk.append(MoveSpec(
+                    "clockvar_mult",
+                    partial(M.make_multiplier_move("clockvar", 1e-6, 1e4),
+                            n_tips=n), 2.0, 2.0 * np.log(1.6), 0.25, 1,
+                    1e-3, 20.0))
+            if ts.clockpr == "birthdeath":
+                mk.append(MoveSpec(
+                    "speciation_mult",
+                    partial(M.make_multiplier_move("speciation", 1e-6, 1e4),
+                            n_tips=n), 1.5, 2.0 * np.log(1.6), 0.25, 1,
+                    1e-3, 20.0))
+                mk.append(MoveSpec(
+                    "extinction_slider",
+                    partial(M.make_slider_move("extinction", 0.0, 1.0),
+                            n_tips=n), 1.5, 0.2, 0.25, 1, 1e-3, 1.0))
+            if ts.clockpr == "coalescence":
+                mk.append(MoveSpec(
+                    "popsize_mult",
+                    partial(M.make_multiplier_move("popsize", 1e-6, 1e8),
+                            n_tips=n), 1.5, 2.0 * np.log(1.6), 0.25, 1,
+                    1e-3, 20.0))
+        else:
+            mk.append(MoveSpec("nni", partial(M.move_nni, n_tips=n), 5.0,
+                               0.0, tunable=False))
+            mk.append(MoveSpec("spr", partial(M.move_spr, n_tips=n), 5.0,
+                               0.0, tunable=False))
+            mk.append(MoveSpec("blen_mult",
+                               partial(M.move_blen_multiplier, n_tips=n),
+                               15.0, 2.0 * np.log(1.6), 0.25, 1, 1e-3, 20.0))
+            mk.append(MoveSpec("node_slider",
+                               partial(M.move_node_slider, n_tips=n),
+                               5.0, 0.0, tunable=False))
+            mk.append(MoveSpec("treelen_mult",
+                               partial(M.move_treelen_multiplier, n_tips=n),
+                               2.0, 2.0 * np.log(1.6), 0.25, 1, 1e-3, 10.0))
         if self.n_groups.get("pi"):
             mk.append(MoveSpec("pi_dir",
                                partial(M.make_simplex_move("pi"), n_tips=n),
@@ -274,13 +325,39 @@ class Engine:
 
     def init_state(self, rng: np.random.Generator, tree: Tree | None = None):
         """One chain's state dict (host values)."""
-        t = tree or random_unrooted(self.n_tips, rng, mean_blen=0.1)
-        st = {
-            "left": jnp.asarray(t.left), "right": jnp.asarray(t.right),
-            "parent": jnp.asarray(t.parent),
-            "blen": jnp.asarray(np.clip(t.blen, 0.0, M.BRLEN_MAX)
-                                .astype(np.float32)),
-        }
+        ts = self.tree_settings
+        if ts.clock:
+            from ..trees import random_clock_tree
+            t, ages = random_clock_tree(self.n_tips, rng, mean_age=0.1)
+            st = {
+                "left": jnp.asarray(t.left), "right": jnp.asarray(t.right),
+                "parent": jnp.asarray(t.parent),
+                "age": jnp.asarray(ages, jnp.float32),
+            }
+            if ts.clockratepr.kind != "fixed":
+                start = {"normal": lambda p: p[0],
+                         "lognormal": lambda p: float(np.exp(p[0])),
+                         "gamma": lambda p: p[0] / p[1],
+                         "exponential": lambda p: 1.0 / p[0],
+                         "uniform": lambda p: 0.5 * (p[0] + p[1])}[
+                             ts.clockratepr.kind](ts.clockratepr.params)
+                st["clockrate"] = jnp.asarray([start], jnp.float32)
+            if ts.clockvarpr != "strict":
+                st["brate"] = jnp.ones((self.n_nodes,), jnp.float32)
+                st["clockvar"] = jnp.asarray([0.1], jnp.float32)
+            if ts.clockpr == "birthdeath":
+                st["speciation"] = jnp.asarray([0.1], jnp.float32)
+                st["extinction"] = jnp.asarray([0.5], jnp.float32)
+            if ts.clockpr == "coalescence":
+                st["popsize"] = jnp.asarray([1.0], jnp.float32)
+        else:
+            t = tree or random_unrooted(self.n_tips, rng, mean_blen=0.1)
+            st = {
+                "left": jnp.asarray(t.left), "right": jnp.asarray(t.right),
+                "parent": jnp.asarray(t.parent),
+                "blen": jnp.asarray(np.clip(t.blen, 0.0, M.BRLEN_MAX)
+                                    .astype(np.float32)),
+            }
         if self.n_groups.get("pi"):
             st["pi"] = jnp.full((self.n_groups["pi"], 4), 0.25)
         if self.n_groups.get("pi20"):
@@ -337,6 +414,12 @@ class Engine:
     # densities
 
     def log_likelihood(self, state):
+        if self.tree_settings.clock:
+            from .clock import clock_blens
+            blen = clock_blens(state, self.n_tips,
+                               self.tree_settings.clockvarpr)
+        else:
+            blen = state["blen"]
         total = jnp.float32(0.0)
         for i, cfg in enumerate(self.div_cfg):
             s = cfg.settings
@@ -390,12 +473,14 @@ class Engine:
                 mult = state["ratemult"][i] / self.div_char_frac[i]
             total = total + division_loglik(
                 state["left"], state["right"], state["parent"],
-                state["blen"], self.tip_partials[i], self.weights[i],
+                blen, self.tip_partials[i], self.weights[i],
                 lam, U, Uinv, pi, rates, pinv, cmask, self.n_tips,
                 rate_mult=mult, coding=coding)
         return total
 
     def log_prior(self, state):
+        if self.tree_settings.clock:
+            return self._log_prior_clock(state)
         lp = jnp.float32(0.0)
         # branch lengths
         mask = np.ones(self.n_nodes, bool)
@@ -437,6 +522,62 @@ class Engine:
                 state["ratemult"],
                 jnp.ones((self.n_div,)))
         return lp
+
+    def _log_prior_clock(self, state):
+        from . import clock as C
+        ts = self.tree_settings
+        n = self.n_tips
+
+        def treeage_lpdf(t1):
+            return _scalar_prior_lpdf(ts.treeagepr, t1)
+
+        cr = state["clockrate"][0] if "clockrate" in state else 1.0
+        if ts.clockpr == "uniform":
+            lp = C.ln_uniform_clock(state["age"], n, treeage_lpdf)
+        elif ts.clockpr == "birthdeath":
+            lp = C.ln_birthdeath(state["age"], n, state["speciation"][0],
+                                 state["extinction"][0], ts.sampleprob,
+                                 treeage_lpdf)
+            lp = lp + _scalar_prior_lpdf(ts.speciationpr,
+                                         state["speciation"][0])
+            lp = lp + _scalar_prior_lpdf(ts.extinctionpr,
+                                         state["extinction"][0])
+        elif ts.clockpr == "coalescence":
+            growth = (ts.growthpr.params[0]
+                      if ts.growthpr.kind == "fixed" else 0.0)
+            lp = C.ln_coalescence(state["age"], n, state["popsize"][0],
+                                  growth, cr)
+            lp = lp + _scalar_prior_lpdf(ts.popsizepr, state["popsize"][0])
+        else:
+            raise ValueError(f"clockpr {ts.clockpr} not supported yet")
+        if "clockrate" in state:
+            lp = lp + _scalar_prior_lpdf(ts.clockratepr, cr)
+        if ts.clockvarpr != "strict":
+            var = state["clockvar"][0]
+            lp = lp + C.ln_branch_rates_prior(state, n, ts.clockvarpr, var)
+            lp = lp + _scalar_prior_lpdf(ts.clockvar_prior(), var)
+        # grouped substitution-model parameter priors are shared with the
+        # non-clock path
+        for (param, gid), pr in self.group_priors.items():
+            if param in ("pi", "pi20", "pi2", "revmat"):
+                x = state[param][gid]
+                alpha = jnp.full(x.shape, pr.params[0] if pr.params else 1.0)
+                lp = lp + dirichlet_lpdf(x, alpha)
+            elif param == "tratio":
+                kappa = state["tratio"][gid]
+                x = kappa / (1.0 + kappa)
+                lp = lp + beta_lpdf(x, *pr.params) - 2.0 * jnp.log1p(kappa)
+            else:
+                lp = lp + _scalar_prior_lpdf(pr, state[param][gid])
+        if self.ratemult_on:
+            lp = lp + dirichlet_lpdf(state["ratemult"],
+                                     jnp.ones((self.n_div,)))
+        # ordering sanity: every parent older than its children
+        par = state["parent"]
+        ok = jnp.all(jnp.where(par >= 0,
+                               state["age"][jnp.maximum(par, 0)]
+                               > state["age"] - 1e-12, True))
+        return jnp.where(ok, lp, NEG_INF)
 
     # ------------------------------------------------------------------
     # generation step
@@ -561,10 +702,20 @@ class Engine:
         return [int(r * nc + np.argmin(tid[r * nc:(r + 1) * nc]))
                 for r in range(self.mcmc.nruns)]
 
+    def effective_blens(self, states, slot: int) -> np.ndarray:
+        """Substitution-unit branch lengths for one chain (host-side)."""
+        if not self.tree_settings.clock:
+            return np.asarray(states["blen"][slot], np.float64)
+        from .clock import clock_blens
+        sub = jax.tree.map(lambda x: x[slot], states)
+        return np.asarray(
+            clock_blens(sub, self.n_tips, self.tree_settings.clockvarpr),
+            np.float64)
+
     def extract_tree(self, states, slot: int) -> Tree:
         return Tree(
             parent=np.asarray(states["parent"][slot]),
             left=np.asarray(states["left"][slot]),
             right=np.asarray(states["right"][slot]),
-            blen=np.asarray(states["blen"][slot], np.float64),
+            blen=self.effective_blens(states, slot),
             n_tips=self.n_tips, rooted=self.tree_settings.clock)

@@ -37,7 +37,28 @@ def param_columns(eng: Engine):
         return "{" + ",".join(map(str, divs)) + "}"
 
     cols.append(("TL" + ("{all}" if multi else ""),
-                 lambda st, s: float(np.sum(np.asarray(st["blen"][s])))))
+                 lambda st, s: float(np.sum(eng.effective_blens(st, s)))))
+    ts = eng.tree_settings
+    if ts.clock:
+        root = eng.n_nodes - 1
+        cols.append(("TH" + ("{all}" if multi else ""),
+                     lambda st, s: float(st["age"][s, root])
+                     * (float(st["clockrate"][s, 0])
+                        if "clockrate" in st else 1.0)))
+        if ts.clockratepr.kind != "fixed":
+            cols.append(("clockrate",
+                         lambda st, s: float(st["clockrate"][s, 0])))
+        if ts.clockvarpr != "strict":
+            cols.append((f"{ts.clockvarpr}var{{all}}" if multi
+                         else f"{ts.clockvarpr}var",
+                         lambda st, s: float(st["clockvar"][s, 0])))
+        if ts.clockpr == "birthdeath":
+            cols.append(("net_speciation",
+                         lambda st, s: float(st["speciation"][s, 0])))
+            cols.append(("relative_extinction",
+                         lambda st, s: float(st["extinction"][s, 0])))
+        if ts.clockpr == "coalescence":
+            cols.append(("theta", lambda st, s: float(st["popsize"][s, 0])))
     rev_names = ("A<->C", "A<->G", "A<->T", "C<->G", "C<->T", "G<->T")
     for gid in range(eng.n_groups.get("revmat", 0)):
         for k, nm in enumerate(rev_names):

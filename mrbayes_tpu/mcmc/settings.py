@@ -44,6 +44,35 @@ class TreeSettings:
         "gammadir", (1.0, 0.1, 1.0, 1.0)))    # reference default, bayes.c:820
     topologypr: Prior = field(default_factory=lambda: Prior("uniform", ()))
     clock: bool = False
+    # clock settings (reference defaults, src/bayes.c:820-905)
+    clockpr: str = "uniform"          # uniform|birthdeath|coalescence
+    treeagepr: Prior = field(default_factory=lambda: Prior("gamma",
+                                                           (1.0, 1.0)))
+    clockratepr: Prior = field(default_factory=lambda: Prior("fixed",
+                                                             (1.0,)))
+    clockvarpr: str = "strict"        # strict|igr|iln|tk02|wn (cpp later)
+    igrvarpr: Prior = field(default_factory=lambda: Prior("exponential",
+                                                          (1.0,)))
+    ilnvarpr: Prior = field(default_factory=lambda: Prior("exponential",
+                                                          (1.0,)))
+    tk02varpr: Prior = field(default_factory=lambda: Prior("exponential",
+                                                           (1.0,)))
+    wnvarpr: Prior = field(default_factory=lambda: Prior("exponential",
+                                                         (10.0,)))
+    speciationpr: Prior = field(default_factory=lambda: Prior(
+        "exponential", (10.0,)))
+    extinctionpr: Prior = field(default_factory=lambda: Prior(
+        "beta", (1.0, 1.0)))
+    popsizepr: Prior = field(default_factory=lambda: Prior("gamma",
+                                                           (1.0, 10.0)))
+    growthpr: Prior = field(default_factory=lambda: Prior("fixed", (0.0,)))
+    sampleprob: float = 1.0
+    samplestrat: str = "random"
+
+    def clockvar_prior(self) -> Prior:
+        return {"igr": self.igrvarpr, "iln": self.ilnvarpr,
+                "tk02": self.tk02varpr, "wn": self.wnvarpr}.get(
+                    self.clockvarpr, Prior("fixed", (1.0,)))
 
 
 @dataclass
