@@ -112,6 +112,7 @@ class Engine:
         src/model.c:13827); `links[param][d]` overrides."""
         n_div = len(div_settings)
         self.div_cfg: list[DivCfg] = []
+        self._mixed_rev: set[int] = set()
         counters = {}
 
         def group_of(param, d, signature):
@@ -156,8 +157,11 @@ class Engine:
                 else:
                     cfg.fixed_pi = np.full(div.n_states,
                                            1.0 / div.n_states)
-            if is_nuc and s.nst == "6":
-                cfg.revmat_group = group_of("revmat", d, repr(s.revmatpr))
+            if is_nuc and s.nst in ("6", "mixed"):
+                cfg.revmat_group = group_of("revmat", d, repr(s.revmatpr)
+                                            + s.nst)
+                if s.nst == "mixed":
+                    self._mixed_rev.add(cfg.revmat_group)
             if is_nuc and s.nst == "2":
                 cfg.tratio_group = group_of("tratio", d, repr(s.tratiopr))
             if s.rates in ("gamma", "invgamma", "lnorm"):
@@ -290,11 +294,39 @@ class Engine:
             mk.append(MoveSpec("pi2_dir",
                                partial(M.make_simplex_move("pi2"), n_tips=n),
                                1.5, 100.0, 0.25, -1, 1.0, 1e5))
-        if self.n_groups.get("revmat"):
+        plain_rev = [g for g in range(self.n_groups.get("revmat", 0))
+                     if g not in self._mixed_rev]
+        if plain_rev:
             mk.append(MoveSpec(
                 "revmat_dir",
-                partial(M.make_simplex_move("revmat"), n_tips=n),
+                partial(M.make_simplex_move("revmat", groups=plain_rev),
+                        n_tips=n),
                 2.0, 200.0, 0.25, -1, 1.0, 1e5))
+        if self._mixed_rev:
+            from . import mixed_gtr as MG
+            gids = jnp.asarray(sorted(self._mixed_rev))
+
+            def mv_splitmerge(key, state, tuning, n_tips=n):
+                k1, k2 = jax.random.split(key)
+                gi = gids[jax.random.randint(k1, (), 0, len(gids))]
+                z2, v2, lnH = MG.splitmerge(k2, state["gtr_class"][gi],
+                                            state["revmat"][gi], tuning)
+                return ({**state,
+                         "gtr_class": state["gtr_class"].at[gi].set(z2),
+                         "revmat": state["revmat"].at[gi].set(v2)}, lnH)
+
+            def mv_dirmix(key, state, tuning, n_tips=n):
+                k1, k2 = jax.random.split(key)
+                gi = gids[jax.random.randint(k1, (), 0, len(gids))]
+                v2, lnH = MG.dirichlet_mixed(k2, state["gtr_class"][gi],
+                                             state["revmat"][gi], tuning)
+                return ({**state,
+                         "revmat": state["revmat"].at[gi].set(v2)}, lnH)
+
+            mk.append(MoveSpec("revmat_splitmerge", mv_splitmerge,
+                               2.0, 10.0, 0.25, -1, 0.5, 1e4))
+            mk.append(MoveSpec("revmat_dirmix", mv_dirmix,
+                               2.0, 200.0, 0.25, -1, 1.0, 1e5))
         if self.n_groups.get("tratio"):
             mk.append(MoveSpec(
                 "tratio_mult",
@@ -366,6 +398,10 @@ class Engine:
             st["pi2"] = jnp.full((self.n_groups["pi2"], 2), 0.5)
         if self.n_groups.get("revmat"):
             st["revmat"] = jnp.full((self.n_groups["revmat"], 6), 1.0 / 6)
+            if self._mixed_rev:
+                st["gtr_class"] = jnp.tile(
+                    jnp.arange(6, dtype=jnp.int32),
+                    (self.n_groups["revmat"], 1))
         if self.n_groups.get("tratio"):
             st["tratio"] = jnp.ones((self.n_groups["tratio"],))
         if self.n_groups.get("shape"):
@@ -503,9 +539,18 @@ class Engine:
                                           bp.params[0], bp.params[1])
         else:
             raise ValueError(f"brlenspr {bp.kind} not supported")
-        # grouped parameters
+        lp = lp + self._grouped_params_prior(state)
+        return lp
+
+    def _grouped_params_prior(self, state):
+        lp = jnp.float32(0.0)
         for (param, gid), pr in self.group_priors.items():
-            if param in ("pi", "pi20", "pi2", "revmat"):
+            if param == "revmat" and gid in self._mixed_rev:
+                from .mixed_gtr import ln_prior_mixed
+                symdir = pr.params[0] if pr.params else 1.0
+                lp = lp + ln_prior_mixed(state["gtr_class"][gid],
+                                         state["revmat"][gid], symdir)
+            elif param in ("pi", "pi20", "pi2", "revmat"):
                 x = state[param][gid]
                 alpha = jnp.full(x.shape, pr.params[0] if pr.params else 1.0)
                 lp = lp + dirichlet_lpdf(x, alpha)
@@ -556,22 +601,7 @@ class Engine:
             var = state["clockvar"][0]
             lp = lp + C.ln_branch_rates_prior(state, n, ts.clockvarpr, var)
             lp = lp + _scalar_prior_lpdf(ts.clockvar_prior(), var)
-        # grouped substitution-model parameter priors are shared with the
-        # non-clock path
-        for (param, gid), pr in self.group_priors.items():
-            if param in ("pi", "pi20", "pi2", "revmat"):
-                x = state[param][gid]
-                alpha = jnp.full(x.shape, pr.params[0] if pr.params else 1.0)
-                lp = lp + dirichlet_lpdf(x, alpha)
-            elif param == "tratio":
-                kappa = state["tratio"][gid]
-                x = kappa / (1.0 + kappa)
-                lp = lp + beta_lpdf(x, *pr.params) - 2.0 * jnp.log1p(kappa)
-            else:
-                lp = lp + _scalar_prior_lpdf(pr, state[param][gid])
-        if self.ratemult_on:
-            lp = lp + dirichlet_lpdf(state["ratemult"],
-                                     jnp.ones((self.n_div,)))
+        lp = lp + self._grouped_params_prior(state)
         # ordering sanity: every parent older than its children
         par = state["parent"]
         ok = jnp.all(jnp.where(par >= 0,

@@ -185,16 +185,23 @@ def _dirichlet_proposal(key, old, conc):
     return new, lnH
 
 
-def make_simplex_move(field):
+def make_simplex_move(field, groups: list[int] | None = None):
     """Dirichlet move on one random group row of state[field]
-    (reference Move_Statefreqs / Move_Revmat_Dir, src/proposal.c)."""
+    (reference Move_Statefreqs / Move_Revmat_Dir, src/proposal.c).
+    ``groups`` restricts the candidate rows (e.g. nst=mixed rows are
+    handled by their own constrained moves)."""
+    gidx = None if groups is None else jnp.asarray(groups)
+
     def move(key, state, tuning, n_tips):
         k1, k2 = jax.random.split(key)
         arr = state[field]
         if arr.ndim == 1:          # the field itself is one simplex
             new, lnH = _dirichlet_proposal(k2, arr, tuning)
             return {**state, field: new}, lnH
-        gi = jax.random.randint(k1, (), 0, arr.shape[0])
+        if gidx is None:
+            gi = jax.random.randint(k1, (), 0, arr.shape[0])
+        else:
+            gi = gidx[jax.random.randint(k1, (), 0, gidx.shape[0])]
         new_row, lnH = _dirichlet_proposal(k2, arr[gi], tuning)
         return {**state, field: arr.at[gi].set(new_row)}, lnH
     move.__name__ = f"move_{field}_dirichlet"

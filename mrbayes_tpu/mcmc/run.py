@@ -65,6 +65,13 @@ def param_columns(eng: Engine):
             cols.append((f"r({nm})" + suffix("revmat", gid),
                          lambda st, s, g=gid, k=k:
                          float(st["revmat"][s, g, k])))
+        if gid in eng._mixed_rev:
+            # submodel indicator: growth string as digits (e.g. 112123),
+            # reference prints gtrsubmodel{...} (src/mcmc.c:12934)
+            cols.append(("gtrsubmodel" + suffix("revmat", gid),
+                         lambda st, s, g=gid: float("".join(
+                             str(int(x) + 1)
+                             for x in np.asarray(st["gtr_class"][s, g])))))
     for gid in range(eng.n_groups.get("tratio", 0)):
         cols.append(("kappa" + suffix("tratio", gid),
                      lambda st, s, g=gid: float(st["tratio"][s, g])))

@@ -67,10 +67,21 @@ def sump(prefix: str, burninfrac: float = 0.25, log=print,
     log("      %-16s %10s %10s %10s %10s %10s %8s %8s %6s" % (
         "Parameter", "Mean", "Variance", "Lower", "Upper", "Median",
         "minESS", "avgESS", "PSRF"))
+    model_indicators = {}
     for j, name in enumerate(header):
         if name in ("Gen",):
             continue
         per_run = [r[:, j] for r in runs]
+        if name.startswith(("gtrsubmodel", "aamodel")):
+            # model-indicator column: report posterior model probabilities
+            # (reference PrintModelStats src/sumpt.c:2104)
+            allv = np.concatenate(per_run).astype(np.int64)
+            vals, counts = np.unique(allv, return_counts=True)
+            order = np.argsort(-counts)
+            model_indicators[name] = [(int(vals[i]),
+                                       counts[i] / len(allv))
+                                      for i in order[:10]]
+            continue
         s = summarize_param(per_run)
         results[name] = s
         if name in ("lnLike", "lnPrior"):
@@ -79,6 +90,12 @@ def sump(prefix: str, burninfrac: float = 0.25, log=print,
             "%6.3f" % (name, s["mean"], s["var"], s["hpd_lower"],
                        s["hpd_upper"], s["median"], s["min_ess"],
                        s["avg_ess"], s["psrf"]))
+    for name, models in model_indicators.items():
+        log("")
+        log(f"      Model probabilities for {name}:")
+        for code, p in models:
+            log(f"         {code}: {p:.4f}")
+        results["_" + name] = models
     # marginal likelihood (harmonic mean) per run
     ln_j = header.index("lnLike")
     log("")
