@@ -352,6 +352,8 @@ class Interpreter:
                     s.covarion = v.startswith("y")
                 elif key == "coding":
                     s.coding = v
+                elif key == "omegavar":
+                    s.omegavar = v
                 # parsmodel/omegavar etc: accepted, wired in later rounds
 
     def do_prset(self, args, base_dir):
@@ -373,6 +375,16 @@ class Interpreter:
                     s.shapepr = prior
                 elif key == "pinvarpr":
                     s.pinvarpr = prior
+                elif key == "omegapr":
+                    s.omegapr = prior
+                elif key == "ny98omega1pr":
+                    s.ny98omega1pr = prior
+                elif key == "ny98omega3pr":
+                    if prior.kind == "exp":
+                        prior = Prior("exponential", prior.params)
+                    s.ny98omega3pr = prior
+                elif key == "codoncatfreqpr":
+                    s.codoncatfreqpr = prior
                 elif key == "ratepr":
                     s.ratepr = ("variable" if prior.kind.startswith("var")
                                 or prior.kind == "dirichlet" else "fixed")

@@ -61,6 +61,9 @@ class DivCfg:
     pinvar_group: int = -1
     n_cats: int = 1
     fixed_pi: np.ndarray | None = None
+    codon: object = None          # CodonCode when nucmodel=codon
+    omega_group: int = -1         # omegavar=equal (M0)
+    ny98_group: int = -1          # omegavar=ny98
 
 
 def _scalar_prior_lpdf(prior: Prior, x):
@@ -129,6 +132,24 @@ class Engine:
             cfg = DivCfg(div=div, settings=s)
             is_nuc = div.dtype in (DataType.DNA, DataType.RNA)
             is_prot = div.dtype is DataType.PROTEIN
+            if is_nuc and s.nucmodel == "codon":
+                from ..models.codes import CodonCode
+                cfg.codon = CodonCode(s.code)
+                cfg.pi_field = "pi61"
+                if s.statefreqpr.kind == "dirichlet":
+                    cfg.pi_group = group_of("pi61", d, repr(s.statefreqpr))
+                else:
+                    cfg.fixed_pi = np.full(cfg.codon.n_states,
+                                           1.0 / cfg.codon.n_states)
+                if s.omegavar == "ny98":
+                    cfg.ny98_group = group_of("ny98", d, "ny98")
+                else:
+                    cfg.omega_group = group_of("omega", d, repr(s.omegapr))
+                if s.nst == "2":
+                    cfg.tratio_group = group_of("tratio", d,
+                                                repr(s.tratiopr))
+                self.div_cfg.append(cfg)
+                continue
             if is_prot:
                 cfg.pi_field = "pi20"
             if div.dtype is DataType.RESTRICTION:
@@ -185,9 +206,17 @@ class Engine:
                                    ("revmat", cfg.revmat_group, s.revmatpr),
                                    ("tratio", cfg.tratio_group, s.tratiopr),
                                    ("shape", cfg.shape_group, s.shapepr),
-                                   ("pinvar", cfg.pinvar_group, s.pinvarpr)]:
+                                   ("pinvar", cfg.pinvar_group, s.pinvarpr),
+                                   ("omega", cfg.omega_group, s.omegapr)]:
                 if gid >= 0:
                     self.group_priors.setdefault((param, gid), pr)
+            if cfg.ny98_group >= 0:
+                self.group_priors.setdefault(("omega1", cfg.ny98_group),
+                                             s.ny98omega1pr)
+                self.group_priors.setdefault(("omega3", cfg.ny98_group),
+                                             s.ny98omega3pr)
+                self.group_priors.setdefault(("omegaprobs", cfg.ny98_group),
+                                             s.codoncatfreqpr)
 
     def _empirical_freqs(self, div) -> np.ndarray:
         """Observed state frequencies (ambiguity split uniformly)."""
@@ -195,6 +224,42 @@ class Engine:
         w = bits / np.maximum(bits.sum(-1, keepdims=True), 1)
         freq = (w * div.weights[None, :, None]).sum((0, 1))
         return freq / freq.sum()
+
+    def _codon_tensors(self, cfg: DivCfg):
+        """Recode a nucleotide division as codon-site patterns
+        (reference: CompressData handles 3-chars-per-column codon
+        compression, src/model.c:2466)."""
+        d = cfg.div
+        code = cfg.codon
+        cols = d.patterns[:, d.pattern_of_char]      # [ntax, nchar] masks
+        nchar = cols.shape[1]
+        if nchar % 3:
+            raise ValueError(
+                f"codon model needs a multiple of 3 sites, got {nchar}")
+        trip = cols.reshape(cols.shape[0], nchar // 3, 3)
+        b = code.bases                               # [S, 3]
+        compat = np.ones((cols.shape[0], nchar // 3, code.n_states), bool)
+        for pos in range(3):
+            compat &= ((trip[:, :, pos:pos + 1]
+                        >> b[None, None, :, pos]) & 1).astype(bool)
+        if np.any(~compat.any(-1)):
+            raise ValueError("stop codon observed in data (check code= "
+                             "and reading frame)")
+        packed = np.packbits(compat, axis=-1)        # [ntax, sites, ceil/8]
+        flat = packed.reshape(packed.shape[0], packed.shape[1], -1)
+        key = np.ascontiguousarray(
+            flat.transpose(1, 0, 2).reshape(flat.shape[1], -1))
+        uniq, inverse, counts = np.unique(key, axis=0, return_inverse=True,
+                                          return_counts=True)
+        pat_idx = np.zeros(len(uniq), dtype=np.int64)
+        seen = {}
+        for s_i, inv in enumerate(inverse):
+            if inv not in seen:
+                seen[int(inv)] = s_i
+        for u in range(len(uniq)):
+            pat_idx[u] = seen[u]
+        tp = compat[:, pat_idx, :].astype(np.float32)
+        return tp, counts.astype(np.float32)
 
     def _build_data_tensors(self):
         self._gamma_tables = {}
@@ -207,6 +272,12 @@ class Engine:
         self.const_masks = []
         for cfg in self.div_cfg:
             d = cfg.div
+            if cfg.codon is not None:
+                tp, w = self._codon_tensors(cfg)
+                self.tip_partials.append(jnp.asarray(tp))
+                self.weights.append(jnp.asarray(w))
+                self.const_masks.append(None)
+                continue
             self.tip_partials.append(jnp.asarray(d.tip_partials()))
             self.weights.append(jnp.asarray(d.weights, jnp.float32))
             self.const_masks.append(
@@ -294,6 +365,31 @@ class Engine:
             mk.append(MoveSpec("pi2_dir",
                                partial(M.make_simplex_move("pi2"), n_tips=n),
                                1.5, 100.0, 0.25, -1, 1.0, 1e5))
+        if self.n_groups.get("pi61"):
+            mk.append(MoveSpec("pi61_dir",
+                               partial(M.make_simplex_move("pi61"),
+                                       n_tips=n),
+                               2.0, 2000.0, 0.25, -1, 10.0, 1e7))
+        if self.n_groups.get("omega"):
+            mk.append(MoveSpec(
+                "omega_mult",
+                partial(M.make_multiplier_move("omega", 1e-4, 1e3),
+                        n_tips=n), 2.0, 2.0 * np.log(1.5), 0.25, 1,
+                1e-3, 20.0))
+        if self.n_groups.get("ny98"):
+            mk.append(MoveSpec(
+                "omega1_slider",
+                partial(M.make_slider_move("omega1", 0.0, 1.0), n_tips=n),
+                1.5, 0.1, 0.25, 1, 1e-3, 1.0))
+            mk.append(MoveSpec(
+                "omega3_mult",
+                partial(M.make_multiplier_move("omega3", 1.0, 1e3),
+                        n_tips=n), 1.5, 2.0 * np.log(1.5), 0.25, 1,
+                1e-3, 20.0))
+            mk.append(MoveSpec(
+                "omegaprobs_dir",
+                partial(M.make_simplex_move("omegaprobs"), n_tips=n),
+                1.5, 100.0, 0.25, -1, 1.0, 1e5))
         plain_rev = [g for g in range(self.n_groups.get("revmat", 0))
                      if g not in self._mixed_rev]
         if plain_rev:
@@ -396,6 +492,17 @@ class Engine:
             st["pi20"] = jnp.full((self.n_groups["pi20"], 20), 0.05)
         if self.n_groups.get("pi2"):
             st["pi2"] = jnp.full((self.n_groups["pi2"], 2), 0.5)
+        if self.n_groups.get("pi61"):
+            n61 = next(c.codon.n_states for c in self.div_cfg
+                       if c.codon is not None)
+            st["pi61"] = jnp.full((self.n_groups["pi61"], n61), 1.0 / n61)
+        if self.n_groups.get("omega"):
+            st["omega"] = jnp.ones((self.n_groups["omega"],))
+        if self.n_groups.get("ny98"):
+            g = self.n_groups["ny98"]
+            st["omega1"] = jnp.full((g,), 0.1)
+            st["omega3"] = jnp.full((g,), 2.0)
+            st["omegaprobs"] = jnp.full((g, 3), 1.0 / 3)
         if self.n_groups.get("revmat"):
             st["revmat"] = jnp.full((self.n_groups["revmat"], 6), 1.0 / 6)
             if self._mixed_rev:
@@ -462,6 +569,9 @@ class Engine:
             nstates = cfg.div.n_states
             pi = (state[cfg.pi_field][cfg.pi_group] if cfg.pi_group >= 0
                   else jnp.asarray(cfg.fixed_pi, jnp.float32))
+            if cfg.codon is not None:
+                total = total + self._codon_loglik(state, i, cfg, pi, blen)
+                continue
             if cfg.div.dtype is DataType.PROTEIN:
                 from ..models.aa_models import AA_MODELS
                 exch = AA_MODELS.get(s.aamodel, AA_MODELS["poisson"])[0]
@@ -514,6 +624,37 @@ class Engine:
                 rate_mult=mult, coding=coding)
         return total
 
+    def _codon_loglik(self, state, i, cfg: DivCfg, pi, blen):
+        """NY98/GY94 codon likelihood: 61-state pruning, optionally with
+        three omega classes as the category axis."""
+        from ..models.substitution import codon_q
+        single, transition, nonsyn = cfg.codon.pair_classes()
+        single = jnp.asarray(single)
+        transition = jnp.asarray(transition)
+        nonsyn = jnp.asarray(nonsyn)
+        kappa = (state["tratio"][cfg.tratio_group]
+                 if cfg.tratio_group >= 0 else jnp.float32(1.0))
+        if cfg.ny98_group >= 0:
+            g = cfg.ny98_group
+            omegas = jnp.stack([state["omega1"][g], jnp.float32(1.0),
+                                state["omega3"][g]])
+            weights = state["omegaprobs"][g]
+        else:
+            omegas = state["omega"][cfg.omega_group][None]
+            weights = None
+        Q = codon_q(omegas, kappa, pi, single, transition, nonsyn)
+        lam, U, Uinv = eigh_reversible(Q, pi)
+        # branch lengths are in per-nucleotide substitution units; a codon
+        # site evolves 3x as fast (verified against reference lnL)
+        mult = 3.0
+        if self.ratemult_on:
+            mult = mult * state["ratemult"][i] / self.div_char_frac[i]
+        return division_loglik(
+            state["left"], state["right"], state["parent"], blen,
+            self.tip_partials[i], self.weights[i], lam, U, Uinv, pi,
+            jnp.ones((omegas.shape[0],)), 0.0, None, self.n_tips,
+            rate_mult=mult, cat_weights=weights)
+
     def log_prior(self, state):
         if self.tree_settings.clock:
             return self._log_prior_clock(state)
@@ -550,16 +691,24 @@ class Engine:
                 symdir = pr.params[0] if pr.params else 1.0
                 lp = lp + ln_prior_mixed(state["gtr_class"][gid],
                                          state["revmat"][gid], symdir)
-            elif param in ("pi", "pi20", "pi2", "revmat"):
+            elif param in ("pi", "pi20", "pi2", "pi61", "revmat"):
                 x = state[param][gid]
                 alpha = jnp.full(x.shape, pr.params[0] if pr.params else 1.0)
                 lp = lp + dirichlet_lpdf(x, alpha)
-            elif param == "tratio":
-                # Beta prior on kappa/(kappa+1) with Jacobian 1/(1+kappa)^2
-                kappa = state["tratio"][gid]
-                x = kappa / (1.0 + kappa)
-                lp = lp + beta_lpdf(x, *pr.params) - \
-                    2.0 * jnp.log1p(kappa)
+            elif param == "omegaprobs":
+                lp = lp + dirichlet_lpdf(state["omegaprobs"][gid],
+                                         jnp.asarray(pr.params))
+            elif param in ("tratio", "omega"):
+                # Beta/Dirichlet(2) prior on x/(x+1) with Jacobian
+                # 1/(1+x)^2 (reference tRatioDir / omegaDir)
+                v = state[param][gid]
+                x = v / (1.0 + v)
+                a, b = (pr.params + (1.0, 1.0))[:2]
+                lp = lp + beta_lpdf(x, a, b) - 2.0 * jnp.log1p(v)
+            elif param == "omega1":
+                lp = lp + beta_lpdf(state["omega1"][gid], *pr.params)
+            elif param == "omega3":
+                lp = lp + _scalar_prior_lpdf(pr, state["omega3"][gid])
             else:
                 lp = lp + _scalar_prior_lpdf(pr, state[param][gid])
         if self.ratemult_on:

@@ -75,6 +75,17 @@ def param_columns(eng: Engine):
     for gid in range(eng.n_groups.get("tratio", 0)):
         cols.append(("kappa" + suffix("tratio", gid),
                      lambda st, s, g=gid: float(st["tratio"][s, g])))
+    for gid in range(eng.n_groups.get("omega", 0)):
+        cols.append(("omega" + suffix("omega", gid),
+                     lambda st, s, g=gid: float(st["omega"][s, g])))
+    for gid in range(eng.n_groups.get("ny98", 0)):
+        cols.append((f"omega(1)", lambda st, s, g=gid:
+                     float(st["omega1"][s, g])))
+        cols.append((f"omega(3)", lambda st, s, g=gid:
+                     float(st["omega3"][s, g])))
+        for k, nm in enumerate(("-", "N", "+")):
+            cols.append((f"pi({nm})", lambda st, s, g=gid, k=k:
+                         float(st["omegaprobs"][s, g, k])))
     for gid in range(eng.n_groups.get("pi", 0)):
         for k, nm in enumerate("ACGT"):
             cols.append((f"pi({nm})" + suffix("pi", gid),

@@ -31,6 +31,15 @@ class DivisionSettings:
     tratiopr: Prior = field(default_factory=lambda: Prior("beta", (1.0, 1.0)))
     shapepr: Prior = field(default_factory=lambda: Prior("exponential", (1.0,)))
     pinvarpr: Prior = field(default_factory=lambda: Prior("uniform", (0.0, 1.0)))
+    omegavar: str = "equal"           # codon: equal (M0) | ny98 | m3
+    omegapr: Prior = field(default_factory=lambda: Prior("dirichlet",
+                                                         (1.0, 1.0)))
+    ny98omega1pr: Prior = field(default_factory=lambda: Prior(
+        "beta", (1.0, 1.0)))
+    ny98omega3pr: Prior = field(default_factory=lambda: Prior(
+        "exponential", (1.0,)))
+    codoncatfreqpr: Prior = field(default_factory=lambda: Prior(
+        "dirichlet", (1.0, 1.0, 1.0)))
     aamodel: str = "poisson"          # protein: poisson|jones|dayhoff|mtrev|...
     aamodelpr: Prior = field(default_factory=lambda: Prior("fixed", ()))
     symdirihyperpr: Prior = field(default_factory=lambda: Prior("fixed", (-1.0,)))

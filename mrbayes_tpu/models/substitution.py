@@ -80,3 +80,27 @@ def protein_q(exchange: jnp.ndarray, pi: jnp.ndarray) -> jnp.ndarray:
     """Protein model from a 190-vector of exchangeabilities (empirical model
     or sampled aa-GTR) and 20 frequencies."""
     return reversible_q(exchange, pi)
+
+
+def codon_q(omega: jnp.ndarray, kappa: jnp.ndarray, pi: jnp.ndarray,
+            single: jnp.ndarray, transition: jnp.ndarray,
+            nonsyn: jnp.ndarray) -> jnp.ndarray:
+    """Goldman–Yang / NY98 codon generator.
+
+    q_ij = kappa^[transition] * omega^[nonsynonymous] * pi_j for codon
+    pairs differing at one position, else 0; normalized to mean rate 1
+    (reference src/likelihood.c SetNucQMatrix 61-state branch).
+    single/transition/nonsyn: [S, S] boolean masks from
+    CodonCode.pair_classes().  omega/kappa may carry leading batch dims.
+    """
+    omega = jnp.asarray(omega)
+    kappa = jnp.asarray(kappa)
+    factor = (jnp.where(transition, kappa[..., None, None], 1.0)
+              * jnp.where(nonsyn, omega[..., None, None], 1.0)
+              * single)
+    Q = factor * pi[..., None, :]
+    diag = -jnp.sum(Q, axis=-1)
+    s = pi.shape[-1]
+    Q = Q + jnp.eye(s) * diag[..., None]
+    mu = -jnp.sum(pi * diag, axis=-1)
+    return Q / mu[..., None, None]

@@ -32,12 +32,14 @@ def division_site_loglik(left: jnp.ndarray, right: jnp.ndarray,
                          pinv: jnp.ndarray | float,
                          const_mask: jnp.ndarray | None,
                          n_tips: int,
-                         rate_mult: jnp.ndarray | float = 1.0) -> jnp.ndarray:
+                         rate_mult: jnp.ndarray | float = 1.0,
+                         cat_weights: jnp.ndarray | None = None) -> jnp.ndarray:
     """Per-pattern log-likelihoods [P] for one division.
 
     Shapes: left/right/parent/blen [2n-1]; tip_partials [n, P, S];
-    lam [S]; U/Uinv [S, S]; pi [S]; cat_rates [K];
-    const_mask [P, S] (None when pinv is fixed at 0).
+    lam [S] (or [K, S] for per-category generators, e.g. omega classes);
+    U/Uinv [S, S] or [K, S, S]; pi [S]; cat_rates [K]; cat_weights [K]
+    (None = equal 1/K); const_mask [P, S] (None when pinv is fixed at 0).
     """
     n_nodes = 2 * n_tips - 1
     npat, s = tip_partials.shape[1], tip_partials.shape[2]
@@ -83,7 +85,10 @@ def division_site_loglik(left: jnp.ndarray, right: jnp.ndarray,
         step, (partials, jnp.zeros((npat,), dtype)), order)
 
     root = n_nodes - 1
-    site_l = jnp.einsum("pks,s->p", partials[root], pi.astype(dtype)) / k
+    if cat_weights is None:
+        cat_weights = jnp.full((k,), 1.0 / k, dtype)
+    site_l = jnp.einsum("pks,k,s->p", partials[root],
+                        cat_weights.astype(dtype), pi.astype(dtype))
     site_l = jnp.maximum(site_l, _TINY)
     ln_var = jnp.log(site_l) + logscale
 
@@ -106,7 +111,8 @@ def division_site_loglik(left: jnp.ndarray, right: jnp.ndarray,
 def division_loglik(left, right, parent, blen, tip_partials, weights,
                     lam, U, Uinv, pi, cat_rates, pinv, const_mask,
                     n_tips: int, rate_mult=1.0,
-                    coding: str = "all") -> jnp.ndarray:
+                    coding: str = "all",
+                    cat_weights: jnp.ndarray | None = None) -> jnp.ndarray:
     """Weighted log-likelihood of one division, with optional
     ascertainment-bias correction for datasets that by construction lack
     certain patterns (reference: AddDummyChars src/model.c:176; coding
@@ -126,7 +132,7 @@ def division_loglik(left, right, parent, blen, tip_partials, weights,
                 [const_mask, jnp.eye(s, dtype=const_mask.dtype)], axis=0)
     ln_site = division_site_loglik(
         left, right, parent, blen, tip_partials, lam, U, Uinv, pi,
-        cat_rates, pinv, const_mask, n_tips, rate_mult)
+        cat_rates, pinv, const_mask, n_tips, rate_mult, cat_weights)
     dtype = ln_site.dtype
     if coding == "all":
         return jnp.sum(weights.astype(dtype) * ln_site)
