@@ -570,6 +570,33 @@ class Interpreter:
         runner.run()
         self._last_runner = runner
 
+    def do_ss(self, args, base_dir):
+        from .mcmc.steppingstone import SsRunner
+        self._set_mcmc_params(args)
+        nsteps, alpha, burninss = 50, 0.4, -1
+        for key, val in self._kv_pairs(args):
+            if key == "nsteps":
+                nsteps = int(val[0])
+            elif key == "alpha":
+                alpha = float(val[0])
+            elif key == "burninss":
+                burninss = int(val[0])
+        eng = self.build_engine()
+        runner = SsRunner(eng, nsteps=nsteps, alpha=alpha,
+                          burninss=burninss, log=self.log)
+        runner.run_ss()
+
+    def do_ssp(self, args, base_dir):
+        self._set_mcmc_params(args)
+
+    def do_sumss(self, args, base_dir):
+        from .mcmc.steppingstone import sumss
+        prefix = self.env.mcmc.filename
+        for key, val in self._kv_pairs(args):
+            if key in ("filename", "file"):
+                prefix = val[0]
+        sumss(prefix, log=self.log)
+
     def do_sump(self, args, base_dir):
         from .summarize.sump import sump
         burn = self.env.mcmc.burninfrac

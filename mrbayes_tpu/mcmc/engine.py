@@ -64,6 +64,7 @@ class DivCfg:
     codon: object = None          # CodonCode when nucmodel=codon
     omega_group: int = -1         # omegavar=equal (M0)
     ny98_group: int = -1          # omegavar=ny98
+    aamodel_group: int = -1       # aamodelpr=mixed (rjMCMC over aa models)
 
 
 def _scalar_prior_lpdf(prior: Prior, x):
@@ -158,7 +159,11 @@ class Engine:
                     cfg.pi_group = group_of("pi2", d, repr(s.statefreqpr))
                 else:
                     cfg.fixed_pi = np.full(2, 0.5)
-            if is_prot and s.aamodel not in ("poisson", "equalin", "gtr"):
+            if is_prot and s.aamodelpr.kind == "mixed":
+                # rjMCMC over the 10 empirical aa models + poisson
+                # (reference Move_Aamodel src/proposal.c:66)
+                cfg.aamodel_group = group_of("aamodel", d, "mixed")
+            elif is_prot and s.aamodel not in ("poisson", "equalin", "gtr"):
                 # empirical aa model: frequencies are part of the model and
                 # never sampled (reference: no pi columns in .p for
                 # aamodelpr=fixed(<empirical>))
@@ -217,6 +222,22 @@ class Engine:
                                              s.ny98omega3pr)
                 self.group_priors.setdefault(("omegaprobs", cfg.ny98_group),
                                              s.codoncatfreqpr)
+
+    def _aa_stacks(self):
+        """Stacked exchangeabilities [11,190] and frequencies [11,20] in
+        the reference's model-index order (src/bayes.c modelElementNames:
+        Poisson Jones Dayhoff Mtrev Mtmam Wag Rtrev Cprev Vt Blosum LG)."""
+        if not hasattr(self, "_aa_stack_cache"):
+            from ..models.aa_models import AA_MODELS
+            order = ["poisson", "jones", "dayhoff", "mtrev", "mtmam",
+                     "wag", "rtrev", "cprev", "vt", "blosum", "lg"]
+            self._aa_model_order = order
+            self._aa_stack_cache = (
+                jnp.asarray(np.stack([AA_MODELS[m][0] for m in order]),
+                            jnp.float32),
+                jnp.asarray(np.stack([AA_MODELS[m][1] for m in order]),
+                            jnp.float32))
+        return self._aa_stack_cache
 
     def _empirical_freqs(self, div) -> np.ndarray:
         """Observed state frequencies (ambiguity split uniformly)."""
@@ -390,6 +411,19 @@ class Engine:
                 "omegaprobs_dir",
                 partial(M.make_simplex_move("omegaprobs"), n_tips=n),
                 1.5, 100.0, 0.25, -1, 1.0, 1e5))
+        if self.n_groups.get("aamodel"):
+            n_models = 11
+
+            def mv_aajump(key, state, tuning, n_tips=n):
+                k1, k2 = jax.random.split(key)
+                arr = state["aamodel_idx"]
+                gi = jax.random.randint(k1, (), 0, arr.shape[0])
+                off = jax.random.randint(k2, (), 1, n_models)
+                new = (arr[gi] + off) % n_models
+                return ({**state, "aamodel_idx": arr.at[gi].set(new)},
+                        jnp.float32(0.0))
+            mk.append(MoveSpec("aamodel_jump", mv_aajump, 2.0, 0.0,
+                               tunable=False))
         plain_rev = [g for g in range(self.n_groups.get("revmat", 0))
                      if g not in self._mixed_rev]
         if plain_rev:
@@ -503,6 +537,9 @@ class Engine:
             st["omega1"] = jnp.full((g,), 0.1)
             st["omega3"] = jnp.full((g,), 2.0)
             st["omegaprobs"] = jnp.full((g, 3), 1.0 / 3)
+        if self.n_groups.get("aamodel"):
+            st["aamodel_idx"] = jnp.zeros((self.n_groups["aamodel"],),
+                                          jnp.int32)
         if self.n_groups.get("revmat"):
             st["revmat"] = jnp.full((self.n_groups["revmat"], 6), 1.0 / 6)
             if self._mixed_rev:
@@ -550,6 +587,7 @@ class Engine:
                 jnp.int32),
             "batch": jnp.zeros((), jnp.int32),
             "gen": jnp.zeros((), jnp.int32),
+            "power": jnp.ones((), jnp.float32),
         }
         return states, bk
 
@@ -574,8 +612,16 @@ class Engine:
                 continue
             if cfg.div.dtype is DataType.PROTEIN:
                 from ..models.aa_models import AA_MODELS
-                exch = AA_MODELS.get(s.aamodel, AA_MODELS["poisson"])[0]
-                Q = reversible_q(jnp.asarray(exch, jnp.float32), pi)
+                if cfg.aamodel_group >= 0:
+                    exch_stack, pi_stack = self._aa_stacks()
+                    idx = state["aamodel_idx"][cfg.aamodel_group]
+                    exch = exch_stack[idx]
+                    pi = pi_stack[idx]
+                else:
+                    exch = jnp.asarray(
+                        AA_MODELS.get(s.aamodel, AA_MODELS["poisson"])[0],
+                        jnp.float32)
+                Q = reversible_q(exch, pi)
             elif cfg.div.dtype in (DataType.DNA, DataType.RNA):
                 if s.nst == "1":
                     Q = nuc_q_nst1(pi)
@@ -761,8 +807,10 @@ class Engine:
     # ------------------------------------------------------------------
     # generation step
 
-    def _chain_step(self, key, state, heat, tuning_row):
-        """One generation for one chain. Returns (state, accepted, move_idx)."""
+    def _chain_step(self, key, state, heat, tuning_row, power):
+        """One generation for one chain. Returns (state, accepted, move_idx).
+        ``power`` raises the likelihood for power-posterior (steppingstone)
+        sampling; 1.0 for ordinary MCMC (reference src/mcmc.c:16325)."""
         k_sel, k_move, k_acc = jax.random.split(key, 3)
         move_idx = jax.random.categorical(k_sel, self.move_logits)
         cur = {k: v for k, v in state.items() if k not in ("lnL", "lnP")}
@@ -778,7 +826,8 @@ class Engine:
             (k_move, cur, tuning_row[move_idx]))
         lnL = self.log_likelihood(new)
         lnP = self.log_prior(new)
-        ln_r = heat * (lnL - state["lnL"] + lnP - state["lnP"]) + lnH
+        ln_r = heat * (power * (lnL - state["lnL"])
+                       + lnP - state["lnP"]) + lnH
         ln_r = jnp.where(jnp.isnan(ln_r), NEG_INF, ln_r)
         accept = jnp.log(jax.random.uniform(k_acc)) < ln_r
         new["lnL"], new["lnP"] = lnL, lnP
@@ -786,12 +835,13 @@ class Engine:
             lambda a, b: jnp.where(accept, a, b), new, state)
         return out, accept, move_idx
 
-    def _swap_step(self, key, states, temp_id, swap_tries, swap_accepts):
+    def _swap_step(self, key, states, temp_id, swap_tries, swap_accepts,
+                   power=1.0):
         """One swap attempt per run between two random chains (reference
         AttemptSwap, src/mcmc.c:591; acceptance math :718)."""
         nc = self.mcmc.nchains
         lam = self.mcmc.temp
-        lnL, lnP = states["lnL"], states["lnP"]
+        lnL, lnP = power * states["lnL"], states["lnP"]
         for r in range(self.mcmc.nruns):
             key, k1, k1b, k2 = jax.random.split(key, 4)
             i = jax.random.randint(k1, (), 0, nc)
@@ -842,8 +892,10 @@ class Engine:
             key = jax.random.fold_in(bk["key"], g)
             keys = jax.random.split(key, self.mcmc.n_chains_total)
             heats = 1.0 / (1.0 + lam * bk["temp_id"].astype(jnp.float32))
+            power = bk.get("power", jnp.float32(1.0))
             states, accepted, move_idx = jax.vmap(
-                self._chain_step)(keys, states, heats, bk["tuning"])
+                self._chain_step, in_axes=(0, 0, 0, 0, None))(
+                keys, states, heats, bk["tuning"], power)
             onehot = jax.nn.one_hot(move_idx, nm, dtype=jnp.int32)
             bk = {**bk,
                   "tries": bk["tries"] + onehot,
@@ -856,7 +908,7 @@ class Engine:
                 skey = jax.random.fold_in(bk["swap_key"], g)
                 temp_id, st, sa = self._swap_step(
                     skey, states, bk["temp_id"], bk["swap_tries"],
-                    bk["swap_accepts"])
+                    bk["swap_accepts"], power)
                 bk = {**bk, "temp_id": temp_id, "swap_tries": st,
                       "swap_accepts": sa}
             if self.mcmc.tune:

@@ -96,6 +96,9 @@ def param_columns(eng: Engine):
     for gid in range(eng.n_groups.get("pinvar", 0)):
         cols.append(("pinvar" + suffix("pinvar", gid),
                      lambda st, s, g=gid: float(st["pinvar"][s, g])))
+    for gid in range(eng.n_groups.get("aamodel", 0)):
+        cols.append(("aamodel" + suffix("aamodel", gid),
+                     lambda st, s, g=gid: float(st["aamodel_idx"][s, g])))
     if eng.ratemult_on:
         for d in range(n_div):
             cols.append((f"m{{{d + 1}}}",
