@@ -121,7 +121,42 @@ class McmcRunner:
         self.asdsf_series: list[tuple[int, float]] = []
 
     # ------------------------------------------------------------- files
-    def _open_files(self, append: bool):
+    @staticmethod
+    def _truncate_after(path: str, gen: int, tree_file: bool):
+        """Drop sample rows newer than the checkpoint generation so an
+        append run continues seamlessly (reference ReusePreviousResults /
+        file-position reconciliation, src/mcmc.c:15840, src/utils.c:289).
+        """
+        if not os.path.exists(path):
+            return
+        with open(path) as f:
+            lines = f.readlines()
+        kept = []
+        for ln in lines:
+            tok = ln.split()
+            g = None
+            if tree_file and len(tok) >= 2 and tok[0] == "tree" \
+                    and tok[1].startswith("gen."):
+                g = int(tok[1][4:])
+            elif not tree_file and tok and tok[0].isdigit():
+                g = int(tok[0])
+            if g is not None and g > gen:
+                continue
+            if tree_file and ln.strip() == "end;":
+                continue        # reopened for more samples
+            kept.append(ln)
+        with open(path, "w") as f:
+            f.writelines(kept)
+
+    def _open_files(self, append: bool, start_gen: int = 0):
+        if append:
+            for r in range(self.mc.nruns):
+                base = f"{self.prefix}.run{r + 1}"
+                self._truncate_after(base + ".p", start_gen, False)
+                self._truncate_after(base + ".t", start_gen, True)
+        return self._open_files_raw(append)
+
+    def _open_files_raw(self, append: bool):
         mode = "a" if append else "w"
         self.pf, self.tf = [], []
         seed_id = self.mc.seed
@@ -166,26 +201,27 @@ class McmcRunner:
                          [gen, lnL, lnP] + vals)))
 
     # --------------------------------------------------------- checkpoint
+    # The reference checkpoints every chain's full state + move tuning +
+    # RNG seeds to a rotated .ckp file and resumes deterministically from
+    # it (PrintCheckPoint src/mcmc.c:11192, resume :2449-2490).  Here the
+    # state is a flat dict of arrays, so serialization is generic: every
+    # state key (topology, ages/blens, all sampled params, rjMCMC
+    # indicators) and every bookkeeping key except the PRNG keys (which
+    # are reconstructed from the stored seeds; per-generation streams are
+    # fold_in(key, absolute_gen), so restarting at the stored generation
+    # reproduces the stream exactly).
     def write_checkpoint(self, states, bk, gen: int):
         obj = {
             "generation": gen,
             "seed": self.mc.seed, "swapseed": self.mc.swapseed,
-            "temp_id": np.asarray(bk["temp_id"]).tolist(),
-            "tuning": np.asarray(bk["tuning"]).tolist(),
-            "tries_total": np.asarray(bk["tries_total"]).tolist(),
-            "accepts_total": np.asarray(bk["accepts_total"]).tolist(),
-            "batch": int(bk["batch"]),
-            "chains": [],
+            "states": {k: np.asarray(v).tolist()
+                       for k, v in states.items()},
+            "bk": {k: np.asarray(v).tolist() for k, v in bk.items()
+                   if k not in ("key", "swap_key")},
+            "trees": [to_newick(self.eng.extract_tree(states, s),
+                                numbers=True)
+                      for s in range(self.mc.n_chains_total)],
         }
-        for s in range(self.mc.n_chains_total):
-            t = self.eng.extract_tree(states, s)
-            chain = {"tree": to_newick(t, numbers=True),
-                     "lnL": float(states["lnL"][s])}
-            for p in ("pi", "revmat", "tratio", "shape", "pinvar",
-                      "ratemult"):
-                if p in states:
-                    chain[p] = np.asarray(states[p][s]).tolist()
-            obj["chains"].append(chain)
         path = f"{self.prefix}.ckp"
         if os.path.exists(path):
             os.replace(path, path + "~")
@@ -194,35 +230,18 @@ class McmcRunner:
 
     def read_checkpoint(self):
         import jax.numpy as jnp
-
-        from ..trees import parse_newick
         with open(f"{self.prefix}.ckp") as f:
             obj = json.load(f)
         states, bk = self.eng.init_chains()
-        host = {k: np.array(v) for k, v in states.items()}  # writable copies
-        numbers = [str(i + 1) for i in range(self.eng.n_tips)]
-        for s, chain in enumerate(obj["chains"]):
-            t = parse_newick(chain["tree"], numbers,
-                             rooted=self.eng.tree_settings.clock)
-            host["left"][s] = t.left
-            host["right"][s] = t.right
-            host["parent"][s] = t.parent
-            host["blen"][s] = t.blen
-            for p in ("pi", "revmat", "tratio", "shape", "pinvar",
-                      "ratemult"):
-                if p in chain:
-                    host[p][s] = np.asarray(chain[p])
-        states = {k: jnp.asarray(v) for k, v in host.items()}
+        states = {k: (jnp.asarray(np.asarray(obj["states"][k]), v.dtype)
+                      if k in obj["states"] else v)
+                  for k, v in states.items()}
+        bk = {k: (jnp.asarray(np.asarray(obj["bk"][k]), v.dtype)
+                  if k in obj["bk"] else v)
+              for k, v in bk.items()}
         import jax
         states["lnL"] = jax.vmap(self.eng.log_likelihood)(states)
         states["lnP"] = jax.vmap(self.eng.log_prior)(states)
-        bk = {**bk,
-              "temp_id": jnp.asarray(obj["temp_id"]),
-              "tuning": jnp.asarray(obj["tuning"], jnp.float32),
-              "tries_total": jnp.asarray(obj["tries_total"], jnp.int32),
-              "accepts_total": jnp.asarray(obj["accepts_total"], jnp.int32),
-              "batch": jnp.asarray(obj["batch"], jnp.int32),
-              "gen": jnp.asarray(obj["generation"], jnp.int32)}
         return states, bk, obj["generation"]
 
     # --------------------------------------------------------------- run
@@ -235,7 +254,7 @@ class McmcRunner:
             self.log(f"   Resuming from checkpoint at generation {start_gen}")
         else:
             states, bk = eng.init_chains()
-        self._open_files(append=start_gen > 0)
+        self._open_files(append=start_gen > 0, start_gen=start_gen)
         lnls = np.asarray(states["lnL"])
         self.log(f"   Running Markov chain ( {mc.nruns} runs x {mc.nchains} "
                  f"chains, {mc.ngen} generations )")
