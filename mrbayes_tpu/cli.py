@@ -38,6 +38,10 @@ class Environment:
     tree_settings: TreeSettings = field(default_factory=TreeSettings)
     mcmc: McmcSettings = field(default_factory=McmcSettings)
     links: dict = field(default_factory=dict)   # param -> list[int] per div
+    constraints: dict = field(default_factory=dict)   # name -> bool mask
+    calibrations: dict = field(default_factory=dict)  # name/taxon -> Prior
+    enforced_constraints: list = field(default_factory=list)  # names
+    deleted: set = field(default_factory=set)   # deleted taxon indices
     outgroup: int = 0
     seed: int = 1
     swapseed: int = 2
@@ -166,8 +170,16 @@ class Interpreter:
         """Parse 'exponential(10.0)' or 'dirichlet(1,1,1,1)' or 'fixed(equal)'
         possibly split across tokens."""
         text = "".join(tokens).lower()
+        # reference accepts abbreviated distribution names (IsSame matches
+        # prefixes, src/command.c); canonicalize the common ones
+        aliases = {"exp": "exponential", "unif": "uniform",
+                   "lognorm": "lognormal", "lognormal": "lognormal",
+                   "offsetexponential": "offsetexp",
+                   "offsetexp": "offsetexp", "norm": "normal",
+                   "gaussian": "normal", "truncatednormal": "truncatednormal"}
         if "(" in text:
             kind, rest = text.split("(", 1)
+            kind = aliases.get(kind, kind)
             rest = rest.rstrip(")")
             params = []
             for p in rest.split(","):
@@ -314,15 +326,73 @@ class Interpreter:
         if isinstance(self.env.charsets.get("_ctype"), dict):
             self.env.charsets["_ctype"][kind] = cols
 
+    def _expand_taxa(self, toks) -> list[int]:
+        """Taxon tokens → 0-based indices: names, numbers, ranges (3-114,
+        1-.), taxset names (reference taxon-set syntax, src/command.c)."""
+        taxa = self.env.nexus.taxa
+        ntax = len(taxa)
+        lower = {t.lower(): i for i, t in enumerate(taxa)}
+        out: list[int] = []
+        plain: list[str] = []
+
+        def flush():
+            if plain:
+                out.extend(parse_char_range(plain, ntax))
+                plain.clear()
+
+        for t in toks:
+            if t.lower() in lower:
+                flush()
+                out.append(lower[t.lower()])
+            elif t in self.env.taxsets:
+                flush()
+                out.extend(self.env.taxsets[t])
+            else:
+                plain.append(t)
+        flush()
+        return sorted(set(out))
+
     def do_constraint(self, args, base_dir):
-        # constraint name [prob] = taxa — parsed and stored; enforcement
-        # arrives with the clock/calibration milestone
+        """constraint <name> [hard|prob] = <taxa> (reference DoConstraint,
+        src/command.c:2419).  Enforced only when listed in
+        prset topologypr=constraints(...)."""
         name = args[0]
         rest = [t for t in args[1:] if t != "="]
-        self.env.taxsets[f"_constraint_{name}"] = rest
+        # drop an optional probability/hardness token before '='
+        if rest and rest[0].lower() in ("hard", "negative", "partial"):
+            if rest[0].lower() != "hard":
+                self.log(f"   [constraint {name}: only hard constraints "
+                         "are enforced]")
+            rest = rest[1:]
+        ids = self._expand_taxa(rest)
+        ntax = len(self.env.nexus.taxa)
+        mask = np.zeros(ntax, bool)
+        mask[ids] = True
+        self.env.constraints[name.lower()] = mask
 
     def do_calibrate(self, args, base_dir):
-        self.log("   [calibrate accepted; dating arrives with clock models]")
+        """calibrate <taxon|constraint|root> = fixed(age)|uniform(a,b)|
+        offsetexp(offset,mean) (reference DoCalibrate,
+        src/command.c:1161)."""
+        for key, val in self._kv_pairs(args):
+            pr = self._parse_prior(val)
+            if pr.kind in ("offsetexponential", "offsetexp"):
+                pr = Prior("offsetexp", pr.params)
+            self.env.calibrations[key.lower()] = pr
+
+    def do_delete(self, args, base_dir):
+        """delete <taxa|taxset|all> — exclude taxa from the analysis
+        (reference DoDelete, src/command.c)."""
+        if args and args[0].lower() == "all":
+            self.env.deleted = set(range(len(self.env.nexus.taxa)))
+        else:
+            self.env.deleted |= set(self._expand_taxa(args))
+
+    def do_restore(self, args, base_dir):
+        if args and args[0].lower() == "all":
+            self.env.deleted = set()
+        else:
+            self.env.deleted -= set(self._expand_taxa(args))
 
     def do_outgroup(self, args, base_dir):
         t = args[0]
@@ -395,6 +465,11 @@ class Interpreter:
                 elif key == "brlenspr":
                     self._set_brlenspr(val)
                 elif key == "topologypr":
+                    if prior.kind == "constraints":
+                        self.env.enforced_constraints = [
+                            str(p).lower() for p in prior.params]
+                    else:
+                        self.env.enforced_constraints = []
                     self.env.tree_settings.topologypr = prior
                 elif key == "clockvarpr":
                     self.env.tree_settings.clockvarpr = prior.kind
@@ -424,6 +499,10 @@ class Interpreter:
                         prior.params[0])
                 elif key == "samplestrat":
                     self.env.tree_settings.samplestrat = prior.kind
+                elif key == "fossilizationpr":
+                    self.env.tree_settings.fossilizationpr = prior
+                elif key == "nodeagepr":
+                    self.env.tree_settings.nodeagepr = prior.kind
 
     def _set_brlenspr(self, val):
         text = "".join(val).lower()
@@ -448,9 +527,10 @@ class Interpreter:
             self.env.tree_settings.clock = True
             sub = text.split(":", 1)[1] if ":" in text else "uniform"
             kind = sub.split("(")[0]
-            if kind in ("uniform", "birthdeath", "coalescence"):
+            if kind in ("uniform", "birthdeath", "coalescence",
+                        "fossilization"):
                 self.env.tree_settings.clockpr = kind
-            elif kind in ("fossilization", "speciestreecoalescence"):
+            elif kind == "speciestreecoalescence":
                 raise CommandError(
                     f"clock prior {kind!r} lands in a later milestone")
             else:
@@ -488,16 +568,22 @@ class Interpreter:
         if env.nexus is None or env.nexus.matrix is None:
             raise CommandError("no data matrix read in")
         env.ensure_div_settings()
+        matrix = env.nexus.matrix
+        taxa = list(env.nexus.taxa)
+        keep = np.array([i not in env.deleted for i in range(len(taxa))])
+        if env.deleted:
+            taxa = [t for i, t in enumerate(taxa) if keep[i]]
+            matrix = replace(matrix, codes=matrix.codes[keep], taxa=taxa)
         if env.current_partition:
             subsets = env.partitions[env.current_partition]
-            divisions = make_divisions(env.nexus.matrix, subsets,
+            divisions = make_divisions(matrix, subsets,
                                        excluded=env.excluded)
         else:
-            divisions = make_divisions(env.nexus.matrix,
-                                       excluded=env.excluded)
-        ds = DataSet(taxa=env.nexus.taxa, nchar=env.nexus.matrix.nchar,
+            divisions = make_divisions(matrix, excluded=env.excluded)
+        ds = DataSet(taxa=taxa, nchar=matrix.nchar,
                      divisions=divisions, charsets=env.charsets,
                      taxsets=env.taxsets)
+        self._wire_dating(taxa, keep)
         div_settings = [replace(env.div_settings[d.user_index])
                         for d in divisions]
         links = None
@@ -510,6 +596,41 @@ class Interpreter:
                      f"rates={s.rates}")
         return Engine(ds, div_settings, env.tree_settings, env.mcmc,
                       links=links)
+
+    def _wire_dating(self, taxa: list[str], keep: "np.ndarray"):
+        """Resolve calibrate/constraint declarations against the current
+        (post-delete) taxon set into TreeSettings fields."""
+        env = self.env
+        ts = env.tree_settings
+        lower = {t.lower(): i for i, t in enumerate(taxa)}
+        ts.tip_calibrations = {}
+        cons: list = []
+        ntax = len(taxa)
+        calibs = env.calibrations if ts.nodeagepr == "calibrated" else {}
+        if env.calibrations and ts.nodeagepr != "calibrated":
+            self.log("   [calibrations ignored: nodeagepr=unconstrained "
+                     "(set prset nodeagepr=calibrated)]")
+        for name, pr in calibs.items():
+            if name == "root":
+                cons.append(("root", np.ones(ntax, bool), pr))
+            elif name in lower:
+                ts.tip_calibrations[lower[name]] = pr
+            elif name in env.constraints:
+                pass   # attached below when the constraint is emitted
+            else:
+                self.log(f"   [calibrate {name}: no such taxon or "
+                         "constraint in the current taxon set]")
+        for name in env.enforced_constraints:
+            if name == "root":
+                if "root" in calibs:
+                    continue   # already added above
+                cons.append(("root", np.ones(ntax, bool), None))
+                continue
+            if name not in env.constraints:
+                raise CommandError(f"constraint {name!r} not defined")
+            mask = env.constraints[name][keep]
+            cons.append((name, mask, calibs.get(name)))
+        ts.constraints = cons
 
     def _set_mcmc_params(self, args):
         mc = self.env.mcmc

@@ -126,6 +126,261 @@ def ln_coalescence(age, n_tips: int, theta, growth=0.0,
 
 
 # ---------------------------------------------------------------------------
+# fossilized birth-death (FBD) priors
+#
+# Math follows the reference exactly (no rate shifts — single slice):
+# c1/c2/q/p0 closed forms src/mcmc.c:8693-8762, Random strategy
+# src/mcmc.c:9013 LnFossilizedBDPriorRandom, FossilTip variant
+# src/mcmc.c:8886 LnFossilizedBDPriorFossilTip, Diversity correction
+# src/mcmc.c:9155 LnFossilizedBDPriorDiversity.  Parameter map
+# (src/mcmc.c:8820-8827): lambda = sR/(1-eR), mu = lambda*eR,
+# psi = mu*fR/(1-fR), rho = sampleprob.
+
+
+def _fbd_c1c2(lam, mu, psi, rho):
+    c1 = jnp.sqrt((lam - mu - psi) ** 2 + 4.0 * lam * psi)
+    c2 = ((2.0 * rho - 1.0) * lam + mu + psi) / c1
+    return c1, c2
+
+
+def _fbd_ln_q(t, c1, c2):
+    """ln q(t): density of an edge from t to the present boundary
+    (reference LnQi_fossil with t_sl=0, src/mcmc.c:8738)."""
+    return (jnp.log(4.0) - c1 * t
+            - 2.0 * jnp.log(1.0 + c2 + (1.0 - c2) * jnp.exp(-c1 * t)))
+
+
+def _fbd_ln_p0(t, lam, mu, psi, c1, c2):
+    """ln p0(t): no sampled descendants (reference LnPi_fossil /
+    LnP0_fossil, src/mcmc.c:8693,8752)."""
+    e = jnp.exp(-c1 * t)
+    frac = (1.0 + c2 - (1.0 - c2) * e) / (1.0 + c2 + (1.0 - c2) * e)
+    other = lam + mu + psi - c1 * frac
+    return jnp.log(jnp.maximum(other, 1e-300)) - jnp.log(2.0 * lam)
+
+
+def _fbd_ln_p1(t, rho, c1, c2):
+    """ln p1(t): exactly one sampled extant, no sampled extinct descendant
+    (reference LnP1_fossil, src/mcmc.c:8707)."""
+    e = jnp.exp(-c1 * t)
+    other = (2.0 * (1.0 - c2 * c2) * e + (1.0 - c2) ** 2 * e * e
+             + (1.0 + c2) ** 2)
+    return jnp.log(4.0) + jnp.log(rho) - c1 * t - jnp.log(other)
+
+
+def fbd_rates(net_div, turnover, fossil_frac, strategy: str):
+    """(lambda, mu, psi) from the sampled (d, r, s) parameterization."""
+    eps = 1e-6
+    eR = jnp.clip(turnover, eps, 1.0 - eps)
+    fR = jnp.clip(fossil_frac, eps, 1.0 - eps)
+    lam = net_div / (1.0 - eR)
+    if strategy == "fossiltip":
+        # reference FossilTip: sR=lam-mu-psi, eR=(mu+psi)/lam, fR=psi/(mu+psi)
+        mu = lam * eR * (1.0 - fR)
+        psi = lam * eR * fR
+    else:
+        mu = lam * eR
+        psi = mu * fR / (1.0 - fR)
+    return lam, mu, psi
+
+
+def ln_fbd(age, n_tips: int, net_div, turnover, fossil_frac, rho,
+           fossil_tip_mask, treeage_lpdf, strategy: str = "random",
+           root_dated: bool = False) -> jnp.ndarray:
+    """Fossilized birth-death tree prior, fossils as tips (no sampled
+    ancestors), no rate shifts.
+
+    fossil_tip_mask: static HOST bool[n_tips] (numpy), True where the tip
+    is a dated fossil.  rho: extant sampling probability
+    (samplestrat=random) or diversity fraction (samplestrat=diversity).
+    """
+    import numpy as np
+    host_mask = np.asarray(fossil_tip_mask)
+    fossil_tip_mask = jnp.asarray(host_mask)
+    root = 2 * n_tips - 2
+    tmrca = jnp.maximum(age[root], 1e-20)
+    lam, mu, psi = fbd_rates(net_div, turnover, fossil_frac, strategy)
+    m_fossil = int(host_mask.sum())
+    n_extant = n_tips - m_fossil
+    int_ages = age[n_tips:root]                     # internals except root
+    tip_ages = age[:n_tips]
+
+    if strategy == "fossiltip":
+        c1, c2 = _fbd_c1c2(lam, mu, psi, rho)
+        lp = jnp.sum(jnp.log(lam) + _fbd_ln_p1(int_ages, rho, c1, c2))
+        lp = lp + jnp.sum(jnp.where(
+            fossil_tip_mask,
+            jnp.log(psi) - _fbd_ln_p1(tip_ages, rho, c1, c2), 0.0))
+        lp = lp + 2.0 * _fbd_ln_p1(tmrca, rho, c1, c2)
+        lp = lp - 2.0 * jnp.log1p(
+            -jnp.exp(_fbd_ln_p0(tmrca, lam, mu, psi, c1, c2)))
+        if not root_dated:
+            lp = lp + treeage_lpdf(tmrca)
+        return lp
+
+    if strategy == "diversity":
+        # Zhang et al. 2016: complete sampling below the cutoff x_cut
+        # (youngest internal/fossil age); psi shifts to 0 there and the
+        # M_x unsampled extant taxa correction is applied below.  We use
+        # the two-slice variant of the reference (src/mcmc.c:9155).
+        x_cut = 0.95 * jnp.minimum(
+            jnp.min(int_ages),
+            jnp.min(jnp.where(fossil_tip_mask, tip_ages, jnp.inf)))
+        return _ln_fbd_diversity(age, n_tips, lam, mu, psi, rho,
+                                 fossil_tip_mask, treeage_lpdf, x_cut,
+                                 root_dated)
+
+    # strategy == "random"
+    c1, c2 = _fbd_c1c2(lam, mu, psi, rho)
+    p_t = jnp.exp(_fbd_ln_p0(tmrca, lam, mu, psi, c1, c2))
+    lp = jnp.sum(jnp.log(lam) + _fbd_ln_q(int_ages, c1, c2))
+    lp = lp + jnp.sum(jnp.where(
+        fossil_tip_mask,
+        _fbd_ln_p0(tip_ages, lam, mu, psi, c1, c2)
+        - _fbd_ln_q(tip_ages, c1, c2) + jnp.log(psi), 0.0))
+    lp = lp + n_extant * jnp.log(rho)
+    lp = lp + 2.0 * (_fbd_ln_q(tmrca, c1, c2) - jnp.log1p(-p_t))
+    lp = lp + (n_tips - 1.0) * jnp.log(2.0)
+    if not root_dated:
+        lp = lp + treeage_lpdf(tmrca)
+    return lp
+
+
+def _ln_fbd_diversity(age, n_tips, lam, mu, psi, rho, fossil_tip_mask,
+                      treeage_lpdf, x_cut, root_dated):
+    """Two-slice FBD: slice boundary at x_cut with (psi->0, rho_cut=0,
+    complete sampling rho=1 at present), then the diversified-sampling
+    correction for the M_x unsampled extant taxa."""
+    root = 2 * n_tips - 2
+    tmrca = jnp.maximum(age[root], 1e-20)
+    # slice 0: (x_cut, tmrca], fossil sampling active, rho_0 = 0 at x_cut
+    c1_0, c2b = _fbd_c1c2(lam, mu, psi, 0.0)
+    # slice 1: [0, x_cut), psi = 0, complete extant sampling rho_1 = 1
+    c1_1, c2_1 = _fbd_c1c2(lam, mu, 0.0, 1.0)
+    # p across the boundary: c2 of slice 0 uses p_{1}(t_1) (reference
+    # c2[i] = ((1-2(1-rho_i) p_{i+1}(t_i)) lam + mu + psi)/c1)
+    p1_at_cut = jnp.exp(_fbd_ln_p0(x_cut, lam, mu, 0.0, c1_1, c2_1))
+    c2_0 = ((1.0 - 2.0 * (1.0 - 0.0) * p1_at_cut) * lam + mu + psi) / c1_0
+
+    def ln_q(t):
+        """piecewise q: slice 1 within [0, x_cut), slice 0 above."""
+        below = (jnp.log(4.0) - c1_1 * t
+                 - 2.0 * jnp.log(1.0 + c2_1
+                                 + (1.0 - c2_1) * jnp.exp(-c1_1 * t)))
+        dt = t - x_cut
+        above = (jnp.log(4.0) - c1_0 * dt
+                 - 2.0 * jnp.log(1.0 + c2_0
+                                 + (1.0 - c2_0) * jnp.exp(-c1_0 * dt)))
+        return jnp.where(t < x_cut, below, above)
+
+    def ln_p0(t):
+        e = jnp.exp(-c1_0 * (t - x_cut))
+        frac = ((1.0 + c2_0 - (1.0 - c2_0) * e)
+                / (1.0 + c2_0 + (1.0 - c2_0) * e))
+        other = lam + mu + psi - c1_0 * frac
+        return (jnp.log(jnp.maximum(other, 1e-300))
+                - jnp.log(2.0 * lam))
+
+    import numpy as np
+    host_mask = np.asarray(fossil_tip_mask)
+    fossil_tip_mask = jnp.asarray(host_mask)
+    int_ages = age[n_tips:root]
+    tip_ages = age[:n_tips]
+    p_t = jnp.exp(ln_p0(tmrca))
+    lp = jnp.sum(jnp.log(lam) + ln_q(int_ages))
+    # fossil tips are all above x_cut by construction
+    lp = lp + jnp.sum(jnp.where(
+        fossil_tip_mask, ln_p0(tip_ages) - ln_q(tip_ages) + jnp.log(psi),
+        0.0))
+    # extant tips: rho_1 = 1 contributes 0; degree-2 vertices at the
+    # boundary: every extant lineage crosses x_cut once: q_1 contribution
+    # with rho_cut = 0 -> + ln q at boundary from below ... the reference
+    # accounts for branches crossing the slice: LnQi(t_sl) + log(1-rho_cut)
+    n_extant = n_tips - int(host_mask.sum())
+    # lineages crossing the cut: those whose node age < x_cut and parent
+    # age > x_cut; by construction of x_cut (0.95*youngest internal) all
+    # extant tips cross and nothing else does
+    lp = lp + n_extant * (jnp.log(4.0) - 2.0 * jnp.log(
+        1.0 + c2_1 + (1.0 - c2_1) * jnp.exp(-c1_1 * x_cut))
+        - c1_1 * x_cut)
+    lp = lp + 2.0 * (ln_q(tmrca) - jnp.log1p(-p_t))
+    lp = lp + (n_tips - 1.0) * jnp.log(2.0)
+    # diversified-sampling correction for unsampled extant taxa
+    m_x = jnp.round(n_extant / rho) - n_extant
+    d = lam - mu
+    corr = jnp.where(
+        jnp.abs(d) * x_cut > 1e-6,
+        jnp.log(lam * (1.0 - jnp.exp(-d * x_cut)))
+        - jnp.log(jnp.maximum(lam - mu * jnp.exp(-d * x_cut), 1e-300)),
+        jnp.log(lam / (mu + 1.0 / jnp.maximum(x_cut, 1e-20))))
+    lp = lp + m_x * corr
+    if not root_dated:
+        lp = lp + treeage_lpdf(tmrca)
+    return lp
+
+
+# ---------------------------------------------------------------------------
+# dated-tip uniform clock prior
+
+
+def ln_uniform_clock_dated(age, n_tips: int, fossil_tip_mask,
+                           treeage_lpdf, root_dated: bool) -> jnp.ndarray:
+    """Uniform node-age prior with dated tips (reference LnUniformPriorPr,
+    src/mcmc.c:9460, single-subtree case: dated tips, no dated interior
+    nodes — interior calibrations contribute their densities separately).
+
+    Sorted dated depths y_1 <= ... <= y_m (tips, static count m) plus the
+    root depth; each interior node depth is uniform in (y_j, t_root) for
+    its interval, with combinatorial sorting corrections.
+    """
+    from jax.scipy.special import gammaln as lgam
+    import numpy as np
+    root = 2 * n_tips - 2
+    t0 = jnp.maximum(age[root], 1e-20)
+    m = int(np.asarray(fossil_tip_mask).sum())   # dated tips (static)
+    lp = jnp.where(jnp.asarray(root_dated), 0.0, treeage_lpdf(t0))
+    if m == 0:
+        n = float(n_tips)
+        return lp + ((n - 1.0) * jnp.log(2.0) - gammaln(n + 1.0)
+                     - jnp.log(n - 1.0) - (n - 2.0) * jnp.log(t0))
+    # dated node depths: the m fossil tip ages, ascending, plus root last.
+    # Undated (extant) tips at depth 0 are "dated" at 0 in the reference
+    # (age 0 is known); the reference's GetDatedNodeDepths collects tips
+    # with isDated — extant tips count as dated at 0.  All tips are dated.
+    tip_ages = age[:n_tips]
+    depths = jnp.sort(tip_ages)                       # y_0..y_{nt-1}
+    nt = n_tips
+    bounds = jnp.concatenate([depths, t0[None]])      # y_1..y_m, t_root
+    int_ages = age[n_tips:root]                       # undated interiors
+    # nLineages[k] = (k+1) - #interior nodes with depth < bounds[k+1]
+    below = (int_ages[None, :] < bounds[1:, None]).sum(-1)   # [nt]
+    n_lin = jnp.arange(1, nt + 1) - below
+    # probability of uniform node depths: skip first and last dated tip
+    # (reference loops j=1..nDatedTips-2 over ALL sorted dated depths,
+    # extant zeros included, src/mcmc.c:9536-9538)
+    j = jnp.arange(1, nt - 1)
+    lp = lp - jnp.sum(jnp.log(jnp.maximum(t0 - depths[j], 1e-30)))
+    # sorting corrections
+    n_in = n_lin[j - 1] + 1
+    n_out = jnp.where(j == nt - 2, 2, n_lin[j])
+    use = (n_in > 1) & (n_in - n_out >= 1)
+    lp = lp + jnp.sum(jnp.where(use, lgam(n_in.astype(age.dtype))
+                                - lgam(n_out.astype(age.dtype)), 0.0))
+    # coalescent-history counts
+    j2 = jnp.arange(1, nt)
+    n_in2 = (n_lin[j2 - 1] + 1).astype(age.dtype)
+    n_out2 = n_lin[j2].astype(age.dtype)
+    diff = n_in2 != n_out2
+    lp = lp + jnp.sum(jnp.where(
+        diff,
+        jnp.log(2.0) * (n_in2 - n_out2)
+        + lgam(n_out2 + 1.0) + lgam(jnp.maximum(n_out2, 1.0))
+        - lgam(n_in2 + 1.0) - lgam(jnp.maximum(n_in2, 1.0)),
+        0.0))
+    return lp
+
+
+# ---------------------------------------------------------------------------
 # relaxed-clock branch-rate priors
 
 
@@ -281,6 +536,31 @@ def move_spr_clock(key, state, tuning, n_tips):
            + jnp.log(jnp.maximum(w_fwd, 1e-30))
            - jnp.log(jnp.maximum(w_bwd, 1e-30)))
     return st, jnp.where(ok, lnH, NEG_INF)
+
+
+def make_tip_date_move(tips: "np.ndarray", los: "np.ndarray",
+                       his: "np.ndarray"):
+    """Uniform slide of one calibrated tip's age within its calibration
+    bounds intersected with (0, parent age) (role of reference
+    Move_NodeSliderClock on dated tips, src/proposal.c:8570).  The window
+    depends only on unchanged quantities, so the proposal is symmetric."""
+    import numpy as np
+    tips_j = jnp.asarray(tips)
+    los_j = jnp.asarray(los, jnp.float32)
+    his_j = jnp.asarray(np.minimum(his, 1e30), jnp.float32)
+
+    def move(key, state, tuning, n_tips):
+        k1, k2 = jax.random.split(key)
+        i = jax.random.randint(k1, (), 0, tips_j.shape[0])
+        v = tips_j[i]
+        age = state["age"]
+        hi = jnp.minimum(his_j[i], age[state["parent"][v]])
+        lo = los_j[i]
+        new = lo + (hi - lo) * jax.random.uniform(k2)
+        ok = hi > lo
+        return ({**state, "age": age.at[v].set(new)},
+                jnp.where(ok, 0.0, NEG_INF))
+    return move
 
 
 def make_brate_multiplier(n_tips: int):

@@ -46,6 +46,9 @@ class MoveSpec:
     tmin: float = 1e-3
     tmax: float = 1e3
     tunable: bool = True
+    updates_q: bool = False   # move changes a Q matrix -> re-eigendecompose
+                              # (role of the reference's upDateCijk flag,
+                              # src/likelihood.c:7864-7872)
 
 
 @dataclass
@@ -82,6 +85,19 @@ def _scalar_prior_lpdf(prior: Prior, x):
         return normal_lpdf(x, p[0], p[1])
     if k == "beta":
         return beta_lpdf(x, p[0], p[1])
+    if k == "offsetexp":
+        # params (offset, mean) — reference parameterization
+        # src/utils.c:12787 LnPriorProbOffsetExponential_Param_Offset_Mean
+        off, mean = p[0], p[1]
+        rate = 1.0 / (mean - off)
+        return jnp.where(x >= off,
+                         jnp.log(rate) - rate * (x - off),
+                         NEG_INF)
+    if k == "truncatednormal":
+        # params (min, mean, sd); unnormalized in the reference too for
+        # ratios (normalization constant drops out of MH ratios)
+        lo, mu, sd = p[0], p[1], p[2]
+        return jnp.where(x >= lo, normal_lpdf(x, mu, sd), NEG_INF)
     if k == "fixed":
         return jnp.zeros_like(x)
     raise ValueError(f"unsupported scalar prior {k}")
@@ -102,9 +118,80 @@ class Engine:
         self.n_tips = dataset.ntax
         self.n_nodes = 2 * self.n_tips - 1
         assert len(div_settings) == len(dataset.divisions)
+        self._build_dating()
         self._build_groups(div_settings, links)
         self._build_data_tensors()
         self._build_moves()
+
+    def _build_dating(self):
+        """Static dating/constraint wiring: tip calibration ages, the
+        fossil-tip mask, and constraint taxon masks (reference: calibrate
+        src/command.c:1161, constraint src/command.c:2419)."""
+        ts = self.tree_settings
+        n = self.n_tips
+        self.tip_dates = np.zeros(n)
+        self.sampled_tip_ages: list[tuple[int, Prior]] = []
+        for ti, pr in (ts.tip_calibrations or {}).items():
+            if pr.kind == "fixed":
+                self.tip_dates[ti] = pr.params[0]
+            elif pr.kind == "uniform":
+                self.tip_dates[ti] = 0.5 * (pr.params[0] + pr.params[1])
+                self.sampled_tip_ages.append((ti, pr))
+            elif pr.kind == "offsetexp":
+                self.tip_dates[ti] = pr.params[1]   # mean
+                self.sampled_tip_ages.append((ti, pr))
+            else:
+                raise ValueError(f"tip calibration {pr.kind} unsupported")
+        self.fossil_tips = self.tip_dates > 0.0
+        self.has_dated_tips = bool(self.fossil_tips.any())
+        # constraints: [C, n_tips] bool + optional age priors on MRCAs.
+        # A constraint covering every taxon is a root calibration: its
+        # prior replaces treeagepr (reference: dated root skips treeAgePr,
+        # src/mcmc.c:9476-9484).
+        self._root_calib: Prior | None = None
+        cons = []
+        for (nm, m, p) in (ts.constraints or []):
+            if m.all():
+                if p is not None:
+                    self._root_calib = p
+                continue
+            cons.append((nm, m, p))
+        self.constraint_masks = (np.stack([m for (_, m, _) in cons])
+                                 if cons else None)
+        self.constraint_priors = [p for (_, _, p) in cons]
+        self.constraint_names = [nm for (nm, _, _) in cons]
+
+    def _constraint_terms(self, state):
+        """NEG_INF when a hard constraint is violated, plus calibration
+        densities on constrained-clade MRCA ages (reference: constraint
+        satisfaction check src/mcmc.c:16777 DoesTreeSatisfyConstraints;
+        calibration priors added in LogPrior)."""
+        from ..ops.traversal import ancestor_matrix
+        if self.constraint_masks is None:
+            return jnp.float32(0.0)
+        A = ancestor_matrix(state["parent"])      # [n_nodes, n_nodes]
+        tipA = A[:self.n_tips]                    # [n_tips, n_nodes]
+        masks = jnp.asarray(self.constraint_masks, jnp.float32)
+        counts = masks @ tipA                     # [C, n_nodes]
+        sizes = jnp.sum(tipA, axis=0)             # [n_nodes]
+        totals = jnp.sum(masks, axis=1)           # [C]
+        is_clade = ((counts == totals[:, None])
+                    & (sizes[None, :] == totals[:, None]))
+        if self.tree_settings.clock:
+            mono = is_clade.any(-1)
+        else:
+            # unrooted: the complement side of the split also satisfies it
+            comp = ((counts == 0.0)
+                    & (sizes[None, :] == self.n_tips - totals[:, None]))
+            mono = (is_clade | comp).any(-1)
+        lp = jnp.where(jnp.all(mono), 0.0, NEG_INF)
+        if self.tree_settings.clock:
+            for c, pr in enumerate(self.constraint_priors):
+                if pr is None or pr.kind == "fixed":
+                    continue
+                mrca = jnp.argmax(is_clade[c])
+                lp = lp + _scalar_prior_lpdf(pr, state["age"][mrca])
+        return lp
 
     # ------------------------------------------------------------------
     # static wiring
@@ -359,6 +446,35 @@ class Engine:
                     partial(M.make_multiplier_move("popsize", 1e-6, 1e8),
                             n_tips=n), 1.5, 2.0 * np.log(1.6), 0.25, 1,
                     1e-3, 20.0))
+            if ts.clockpr == "fossilization":
+                # d/r/s parameterization moves (reference Move_Speciation
+                # src/proposal.c:15961, Move_Extinction :1800,
+                # Move_Fossilization :1923)
+                mk.append(MoveSpec(
+                    "speciation_mult",
+                    partial(M.make_multiplier_move("speciation", 1e-6, 1e4),
+                            n_tips=n), 1.5, 2.0 * np.log(1.6), 0.25, 1,
+                    1e-3, 20.0))
+                mk.append(MoveSpec(
+                    "extinction_slider",
+                    partial(M.make_slider_move("extinction", 0.0, 1.0),
+                            n_tips=n), 1.5, 0.2, 0.25, 1, 1e-3, 1.0))
+                mk.append(MoveSpec(
+                    "fossilization_slider",
+                    partial(M.make_slider_move("fossilization", 0.0, 1.0),
+                            n_tips=n), 1.5, 0.2, 0.25, 1, 1e-3, 1.0))
+            if self.sampled_tip_ages:
+                tips = np.array([t for t, _ in self.sampled_tip_ages])
+                los = np.array([
+                    p.params[0] if p.kind in ("uniform", "offsetexp")
+                    else 0.0 for _, p in self.sampled_tip_ages])
+                his = np.array([
+                    p.params[1] if p.kind == "uniform" else np.inf
+                    for _, p in self.sampled_tip_ages])
+                mk.append(MoveSpec(
+                    "tip_date_slider",
+                    partial(C.make_tip_date_move(tips, los, his), n_tips=n),
+                    3.0, 0.0, tunable=False))
         else:
             mk.append(MoveSpec("nni", partial(M.move_nni, n_tips=n), 5.0,
                                0.0, tunable=False))
@@ -478,6 +594,12 @@ class Engine:
                 "ratemult_dir",
                 partial(M.make_simplex_move("ratemult"), n_tips=n),
                 1.5, 300.0, 0.25, -1, 1.0, 1e5))
+        q_moves = {"pi_dir", "pi20_dir", "pi2_dir", "pi61_dir",
+                   "omega_mult", "omega1_slider", "omega3_mult",
+                   "aamodel_jump", "revmat_dir", "revmat_splitmerge",
+                   "revmat_dirmix", "tratio_mult"}
+        for m in mk:
+            m.updates_q = m.name in q_moves
         self.moves = mk
         w = np.array([m.weight for m in mk])
         self.move_logits = jnp.log(jnp.asarray(w / w.sum()))
@@ -490,7 +612,12 @@ class Engine:
         ts = self.tree_settings
         if ts.clock:
             from ..trees import random_clock_tree
-            t, ages = random_clock_tree(self.n_tips, rng, mean_age=0.1)
+            mean_age = 0.1
+            if self.has_dated_tips:
+                mean_age = max(0.1, 1.2 * float(self.tip_dates.max()))
+            t, ages = random_clock_tree(
+                self.n_tips, rng, mean_age=mean_age,
+                tip_ages=self.tip_dates if self.has_dated_tips else None)
             st = {
                 "left": jnp.asarray(t.left), "right": jnp.asarray(t.right),
                 "parent": jnp.asarray(t.parent),
@@ -512,6 +639,10 @@ class Engine:
                 st["extinction"] = jnp.asarray([0.5], jnp.float32)
             if ts.clockpr == "coalescence":
                 st["popsize"] = jnp.asarray([1.0], jnp.float32)
+            if ts.clockpr == "fossilization":
+                st["speciation"] = jnp.asarray([0.1], jnp.float32)
+                st["extinction"] = jnp.asarray([0.5], jnp.float32)
+                st["fossilization"] = jnp.asarray([0.1], jnp.float32)
         else:
             t = tree or random_unrooted(self.n_tips, rng, mean_blen=0.1)
             st = {
@@ -554,7 +685,7 @@ class Engine:
             st["pinvar"] = jnp.full((self.n_groups["pinvar"],), 0.1)
         if self.ratemult_on:
             st["ratemult"] = jnp.asarray(self.div_char_frac, jnp.float32)
-        return st
+        return self.refresh_eigs(st)
 
     def init_chains(self, seed: int | None = None):
         """Vmapped initial states for all runs × chains + bookkeeping."""
@@ -594,6 +725,79 @@ class Engine:
     # ------------------------------------------------------------------
     # densities
 
+    def _division_q_pi(self, state, i):
+        """(Q, pi) of division i from sampled/fixed params (the analog of
+        reference SetNucQMatrix/UpDateCijk inputs, src/likelihood.c:8166)."""
+        cfg = self.div_cfg[i]
+        s = cfg.settings
+        nstates = cfg.div.n_states
+        pi = (state[cfg.pi_field][cfg.pi_group] if cfg.pi_group >= 0
+              else jnp.asarray(cfg.fixed_pi, jnp.float32))
+        if cfg.codon is not None:
+            from ..models.substitution import codon_q
+            single, transition, nonsyn = cfg.codon.pair_classes()
+            kappa = (state["tratio"][cfg.tratio_group]
+                     if cfg.tratio_group >= 0 else jnp.float32(1.0))
+            if cfg.ny98_group >= 0:
+                g = cfg.ny98_group
+                omegas = jnp.stack([state["omega1"][g], jnp.float32(1.0),
+                                    state["omega3"][g]])
+            else:
+                omegas = state["omega"][cfg.omega_group][None]
+            Q = codon_q(omegas, kappa, pi, jnp.asarray(single),
+                        jnp.asarray(transition), jnp.asarray(nonsyn))
+            return Q, pi
+        if cfg.div.dtype is DataType.PROTEIN:
+            from ..models.aa_models import AA_MODELS
+            if cfg.aamodel_group >= 0:
+                exch_stack, pi_stack = self._aa_stacks()
+                idx = state["aamodel_idx"][cfg.aamodel_group]
+                exch = exch_stack[idx]
+                pi = pi_stack[idx]
+            else:
+                exch = jnp.asarray(
+                    AA_MODELS.get(s.aamodel, AA_MODELS["poisson"])[0],
+                    jnp.float32)
+            Q = reversible_q(exch, pi)
+        elif cfg.div.dtype in (DataType.DNA, DataType.RNA):
+            if s.nst == "1":
+                Q = nuc_q_nst1(pi)
+            elif s.nst == "2":
+                Q = nuc_q_nst2(state["tratio"][cfg.tratio_group], pi)
+            else:
+                Q = nuc_q_gtr(state["revmat"][cfg.revmat_group], pi)
+        elif cfg.div.dtype is DataType.RESTRICTION:
+            Q = reversible_q(jnp.ones((1,)), pi)
+        elif cfg.div.dtype is DataType.STANDARD:
+            Q = mk_q(nstates)
+            pi = jnp.full((nstates,), 1.0 / nstates)
+        else:
+            raise NotImplementedError(
+                f"datatype {cfg.div.dtype} not yet wired")
+        return Q, pi
+
+    def _division_eig(self, state, i):
+        Q, pi = self._division_q_pi(state, i)
+        return eigh_reversible(Q, pi)
+
+    def refresh_eigs(self, state):
+        """(Re)compute the cached eigensystems for every division.  The
+        cache lives in the chain state so it rides accept/reject for free;
+        only Q-changing move branches call this (reference recomputes cijk
+        only when upDateCijk is set, src/likelihood.c:10476)."""
+        out = dict(state)
+        for i in range(self.n_div):
+            lam, U, Uinv = self._division_eig(state, i)
+            out[f"eigL{i}"] = lam
+            out[f"eigU{i}"] = U
+            out[f"eigV{i}"] = Uinv
+        return out
+
+    def _division_eig_cached(self, state, i):
+        if f"eigL{i}" in state:
+            return state[f"eigL{i}"], state[f"eigU{i}"], state[f"eigV{i}"]
+        return self._division_eig(state, i)
+
     def log_likelihood(self, state):
         if self.tree_settings.clock:
             from .clock import clock_blens
@@ -604,46 +808,23 @@ class Engine:
         total = jnp.float32(0.0)
         for i, cfg in enumerate(self.div_cfg):
             s = cfg.settings
-            nstates = cfg.div.n_states
             pi = (state[cfg.pi_field][cfg.pi_group] if cfg.pi_group >= 0
                   else jnp.asarray(cfg.fixed_pi, jnp.float32))
             if cfg.codon is not None:
                 total = total + self._codon_loglik(state, i, cfg, pi, blen)
                 continue
-            if cfg.div.dtype is DataType.PROTEIN:
-                from ..models.aa_models import AA_MODELS
-                if cfg.aamodel_group >= 0:
-                    exch_stack, pi_stack = self._aa_stacks()
-                    idx = state["aamodel_idx"][cfg.aamodel_group]
-                    exch = exch_stack[idx]
-                    pi = pi_stack[idx]
-                else:
-                    exch = jnp.asarray(
-                        AA_MODELS.get(s.aamodel, AA_MODELS["poisson"])[0],
-                        jnp.float32)
-                Q = reversible_q(exch, pi)
-            elif cfg.div.dtype in (DataType.DNA, DataType.RNA):
-                if s.nst == "1":
-                    Q = nuc_q_nst1(pi)
-                elif s.nst == "2":
-                    Q = nuc_q_nst2(state["tratio"][cfg.tratio_group], pi)
-                else:
-                    Q = nuc_q_gtr(state["revmat"][cfg.revmat_group], pi)
-            elif cfg.div.dtype is DataType.RESTRICTION:
-                Q = reversible_q(jnp.ones((1,)), pi)
+            if cfg.div.dtype is DataType.PROTEIN and cfg.aamodel_group >= 0:
+                _, pi_stack = self._aa_stacks()
+                pi = pi_stack[state["aamodel_idx"][cfg.aamodel_group]]
             elif cfg.div.dtype is DataType.STANDARD:
-                Q = mk_q(nstates)
-                pi = jnp.full((nstates,), 1.0 / nstates)
-            else:
-                raise NotImplementedError(
-                    f"datatype {cfg.div.dtype} not yet wired")
+                pi = jnp.full((cfg.div.n_states,), 1.0 / cfg.div.n_states)
             coding = {"all": "all", "variable": "variable",
                       "noabsencesites": "noabsence",
                       "nopresencesites": "nopresence"}.get(s.coding, "all")
             if cfg.div.dtype not in (DataType.STANDARD,
                                      DataType.RESTRICTION):
                 coding = "all"
-            lam, U, Uinv = eigh_reversible(Q, pi)
+            lam, U, Uinv = self._division_eig_cached(state, i)
             if s.rates in ("gamma", "invgamma"):
                 rates = self._gamma_tables[cfg.n_cats](
                     state["shape"][cfg.shape_group])
@@ -673,23 +854,13 @@ class Engine:
     def _codon_loglik(self, state, i, cfg: DivCfg, pi, blen):
         """NY98/GY94 codon likelihood: 61-state pruning, optionally with
         three omega classes as the category axis."""
-        from ..models.substitution import codon_q
-        single, transition, nonsyn = cfg.codon.pair_classes()
-        single = jnp.asarray(single)
-        transition = jnp.asarray(transition)
-        nonsyn = jnp.asarray(nonsyn)
-        kappa = (state["tratio"][cfg.tratio_group]
-                 if cfg.tratio_group >= 0 else jnp.float32(1.0))
         if cfg.ny98_group >= 0:
-            g = cfg.ny98_group
-            omegas = jnp.stack([state["omega1"][g], jnp.float32(1.0),
-                                state["omega3"][g]])
-            weights = state["omegaprobs"][g]
+            weights = state["omegaprobs"][cfg.ny98_group]
+            n_cats = 3
         else:
-            omegas = state["omega"][cfg.omega_group][None]
             weights = None
-        Q = codon_q(omegas, kappa, pi, single, transition, nonsyn)
-        lam, U, Uinv = eigh_reversible(Q, pi)
+            n_cats = 1
+        lam, U, Uinv = self._division_eig_cached(state, i)
         # branch lengths are in per-nucleotide substitution units; a codon
         # site evolves 3x as fast (verified against reference lnL)
         mult = 3.0
@@ -698,7 +869,7 @@ class Engine:
         return division_loglik(
             state["left"], state["right"], state["parent"], blen,
             self.tip_partials[i], self.weights[i], lam, U, Uinv, pi,
-            jnp.ones((omegas.shape[0],)), 0.0, None, self.n_tips,
+            jnp.ones((n_cats,)), 0.0, None, self.n_tips,
             rate_mult=mult, cat_weights=weights)
 
     def log_prior(self, state):
@@ -726,6 +897,7 @@ class Engine:
                                           bp.params[0], bp.params[1])
         else:
             raise ValueError(f"brlenspr {bp.kind} not supported")
+        lp = lp + self._constraint_terms(state)
         lp = lp + self._grouped_params_prior(state)
         return lp
 
@@ -769,10 +941,27 @@ class Engine:
         n = self.n_tips
 
         def treeage_lpdf(t1):
+            if self._root_calib is not None:
+                return _scalar_prior_lpdf(self._root_calib, t1)
             return _scalar_prior_lpdf(ts.treeagepr, t1)
 
         cr = state["clockrate"][0] if "clockrate" in state else 1.0
-        if ts.clockpr == "uniform":
+        if ts.clockpr == "fossilization":
+            lp = C.ln_fbd(state["age"], n, state["speciation"][0],
+                          state["extinction"][0], state["fossilization"][0],
+                          ts.sampleprob, self.fossil_tips,
+                          treeage_lpdf, strategy=ts.samplestrat)
+            lp = lp + _scalar_prior_lpdf(ts.speciationpr,
+                                         state["speciation"][0])
+            lp = lp + _scalar_prior_lpdf(ts.extinctionpr,
+                                         state["extinction"][0])
+            lp = lp + _scalar_prior_lpdf(ts.fossilizationpr,
+                                         state["fossilization"][0])
+        elif ts.clockpr == "uniform" and self.has_dated_tips:
+            lp = C.ln_uniform_clock_dated(
+                state["age"], n, self.fossil_tips,
+                treeage_lpdf, root_dated=False)
+        elif ts.clockpr == "uniform":
             lp = C.ln_uniform_clock(state["age"], n, treeage_lpdf)
         elif ts.clockpr == "birthdeath":
             lp = C.ln_birthdeath(state["age"], n, state["speciation"][0],
@@ -796,6 +985,9 @@ class Engine:
             var = state["clockvar"][0]
             lp = lp + C.ln_branch_rates_prior(state, n, ts.clockvarpr, var)
             lp = lp + _scalar_prior_lpdf(ts.clockvar_prior(), var)
+        for ti, pr in self.sampled_tip_ages:
+            lp = lp + _scalar_prior_lpdf(pr, state["age"][ti])
+        lp = lp + self._constraint_terms(state)
         lp = lp + self._grouped_params_prior(state)
         # ordering sanity: every parent older than its children
         par = state["parent"]
@@ -807,18 +999,29 @@ class Engine:
     # ------------------------------------------------------------------
     # generation step
 
-    def _chain_step(self, key, state, heat, tuning_row, power):
-        """One generation for one chain. Returns (state, accepted, move_idx).
+    def _chain_step(self, key, state, heat, tuning_row, power, move_idx):
+        """One generation for one chain. Returns (state, accepted).
         ``power`` raises the likelihood for power-posterior (steppingstone)
-        sampling; 1.0 for ordinary MCMC (reference src/mcmc.c:16325)."""
-        k_sel, k_move, k_acc = jax.random.split(key, 3)
-        move_idx = jax.random.categorical(k_sel, self.move_logits)
+        sampling; 1.0 for ordinary MCMC (reference src/mcmc.c:16325).
+
+        ``move_idx`` is a SCALAR shared by all vmapped chains this
+        generation: a per-chain traced index would force XLA to evaluate
+        every move branch for every chain under vmap (measured 42% of the
+        step); a shared state-independent random move type keeps the
+        lax.switch scalar so exactly one branch executes.  Each chain's
+        invariant distribution is unchanged (move selection is independent
+        of chain state, as with the reference's per-chain PickProposal,
+        src/mcmc.c:10094 — only the across-chain correlation differs)."""
+        k_move, k_acc = jax.random.split(key, 2)
         cur = {k: v for k, v in state.items() if k not in ("lnL", "lnP")}
 
         def apply(i):
             def f(args):
                 key, st, tun = args
-                return self.moves[i].fn(key, st, tun)
+                st2, lnH = self.moves[i].fn(key, st, tun)
+                if self.moves[i].updates_q:
+                    st2 = self.refresh_eigs(st2)
+                return st2, lnH
             return f
 
         new, lnH = jax.lax.switch(
@@ -833,7 +1036,7 @@ class Engine:
         new["lnL"], new["lnP"] = lnL, lnP
         out = jax.tree.map(
             lambda a, b: jnp.where(accept, a, b), new, state)
-        return out, accept, move_idx
+        return out, accept
 
     def _swap_step(self, key, states, temp_id, swap_tries, swap_accepts,
                    power=1.0):
@@ -890,13 +1093,15 @@ class Engine:
         def gen(carry, g):
             states, bk = carry
             key = jax.random.fold_in(bk["key"], g)
+            k_sel, key = jax.random.split(key)
+            move_idx = jax.random.categorical(k_sel, self.move_logits)
             keys = jax.random.split(key, self.mcmc.n_chains_total)
             heats = 1.0 / (1.0 + lam * bk["temp_id"].astype(jnp.float32))
             power = bk.get("power", jnp.float32(1.0))
-            states, accepted, move_idx = jax.vmap(
-                self._chain_step, in_axes=(0, 0, 0, 0, None))(
-                keys, states, heats, bk["tuning"], power)
-            onehot = jax.nn.one_hot(move_idx, nm, dtype=jnp.int32)
+            states, accepted = jax.vmap(
+                self._chain_step, in_axes=(0, 0, 0, 0, None, None))(
+                keys, states, heats, bk["tuning"], power, move_idx)
+            onehot = jax.nn.one_hot(move_idx, nm, dtype=jnp.int32)[None, :]
             bk = {**bk,
                   "tries": bk["tries"] + onehot,
                   "accepts": bk["accepts"]

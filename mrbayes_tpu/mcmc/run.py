@@ -215,7 +215,8 @@ class McmcRunner:
             "generation": gen,
             "seed": self.mc.seed, "swapseed": self.mc.swapseed,
             "states": {k: np.asarray(v).tolist()
-                       for k, v in states.items()},
+                       for k, v in states.items()
+                       if not k.startswith("eig")},   # derived caches
             "bk": {k: np.asarray(v).tolist() for k, v in bk.items()
                    if k not in ("key", "swap_key")},
             "trees": [to_newick(self.eng.extract_tree(states, s),
@@ -240,6 +241,7 @@ class McmcRunner:
                   if k in obj["bk"] else v)
               for k, v in bk.items()}
         import jax
+        states = jax.vmap(self.eng.refresh_eigs)(states)
         states["lnL"] = jax.vmap(self.eng.log_likelihood)(states)
         states["lnP"] = jax.vmap(self.eng.log_prior)(states)
         return states, bk, obj["generation"]

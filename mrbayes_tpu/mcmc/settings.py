@@ -76,7 +76,18 @@ class TreeSettings:
                                                            (1.0, 10.0)))
     growthpr: Prior = field(default_factory=lambda: Prior("fixed", (0.0,)))
     sampleprob: float = 1.0
-    samplestrat: str = "random"
+    samplestrat: str = "random"       # random|diversity|fossiltip
+    fossilizationpr: Prior = field(default_factory=lambda: Prior(
+        "beta", (1.0, 1.0)))          # reference default, src/bayes.c:849-853
+    nodeagepr: str = "unconstrained"  # unconstrained|calibrated
+    # tip-date calibrations: taxon index -> Prior; "fixed" pins the age,
+    # anything else samples it (reference DoCalibrate, src/command.c:1161)
+    tip_calibrations: dict = field(default_factory=dict)
+    # topology constraints: list of (name, bool taxon mask); with
+    # nodeagepr=calibrated a constraint may carry an age prior on its MRCA
+    # (reference DoConstraint src/command.c:2419 + calibrate <node>)
+    constraints: list = field(default_factory=list)   # [(name, mask, Prior|None)]
+    treeage_calibrated: bool = False  # root calibration supplied via calibrate
 
     def clockvar_prior(self) -> Prior:
         return {"igr": self.igrvarpr, "iln": self.ilnvarpr,

@@ -39,6 +39,19 @@ def postorder_internal(parent: jnp.ndarray, n_tips: int) -> jnp.ndarray:
     return internal[order]
 
 
+def ancestor_matrix(parent: jnp.ndarray) -> jnp.ndarray:
+    """A[u, v] = 1.0 iff v is an ancestor-or-self of u.  Boolean matrix
+    squaring (log2 n float matmuls — MXU-friendly), used for constraint
+    (monophyly) checks and MRCA lookup under jit."""
+    n = parent.shape[-1]
+    eye = jnp.eye(n, dtype=jnp.float32)
+    P = jnp.where(parent[:, None] == jnp.arange(n)[None, :], 1.0, 0.0)
+    A = jnp.minimum(eye + P, 1.0)
+    for _ in range(max(1, math.ceil(math.log2(n)))):
+        A = jnp.minimum(A @ A, 1.0)
+    return A
+
+
 def subtree_mask(parent: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     """Boolean mask of nodes in the subtree rooted at node v (v included).
     Pointer doubling over ancestor chains."""

@@ -309,11 +309,16 @@ def random_unrooted(n_tips: int, rng: np.random.Generator,
 
 
 def random_clock_tree(n_tips: int, rng: np.random.Generator,
-                      mean_age: float = 1.0):
+                      mean_age: float = 1.0,
+                      tip_ages: np.ndarray | None = None):
     """Random rooted topology with coalescent-style node ages.
 
-    Returns (Tree, ages[2n-1]) with tips at age 0 and the root (node 2n-2)
-    oldest.  Branch 'lengths' in the Tree are the age differences.
+    Returns (Tree, ages[2n-1]) with tips at ``tip_ages`` (default 0) and
+    the root (node 2n-2) oldest.  Branch 'lengths' in the Tree are the age
+    differences.  With dated (fossil) tips, a tip only becomes available
+    for joining once the clock has passed its age — a serially-sampled
+    coalescent (role of the reference's calibrated starting trees,
+    src/utils.c:4164 InitCalibratedBrlens).
     """
     n = n_tips
     t = Tree(parent=np.full(2 * n - 1, -1, np.int32),
@@ -321,11 +326,23 @@ def random_clock_tree(n_tips: int, rng: np.random.Generator,
              right=np.full(2 * n - 1, -1, np.int32),
              blen=np.zeros(2 * n - 1), n_tips=n, rooted=True)
     ages = np.zeros(2 * n - 1)
-    active = list(range(n))
+    if tip_ages is None:
+        tip_ages = np.zeros(n)
+    ages[:n] = tip_ages
+    if mean_age < 2.0 * float(np.max(tip_ages)):
+        mean_age = 2.0 * float(np.max(tip_ages)) + 1e-3
+    pending = sorted(range(n), key=lambda i: tip_ages[i])
+    active: list[int] = []
     age = 0.0
     for i in range(n - 1):
+        while pending and (tip_ages[pending[0]] <= age or len(active) < 2):
+            nxt = pending.pop(0)
+            age = max(age, tip_ages[nxt])
+            active.append(nxt)
         k = len(active)
         age += rng.exponential(2.0 * mean_age / (k * (k - 1)))
+        while pending and tip_ages[pending[0]] <= age:
+            active.append(pending.pop(0))
         a, b = rng.choice(len(active), 2, replace=False)
         node = n + i
         na, nb = active[a], active[b]
