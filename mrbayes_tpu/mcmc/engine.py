@@ -480,6 +480,14 @@ class Engine:
                                0.0, tunable=False))
             mk.append(MoveSpec("spr", partial(M.move_spr, n_tips=n), 5.0,
                                0.0, tunable=False))
+            # the reference's workhorse topology moves: extending SPR
+            # (Move_ExtSPR, default relprob 10-ish) and the subtree
+            # swapper (Move_ExtSS)
+            mk.append(MoveSpec("ext_spr", partial(M.move_ext_spr, n_tips=n),
+                               10.0, 0.8, 0.25, 1, 0.05, 0.95))
+            mk.append(MoveSpec("subtree_swap",
+                               partial(M.move_subtree_swap, n_tips=n),
+                               2.0, 0.0, tunable=False))
             mk.append(MoveSpec("blen_mult",
                                partial(M.move_blen_multiplier, n_tips=n),
                                15.0, 2.0 * np.log(1.6), 0.25, 1, 1e-3, 20.0))

