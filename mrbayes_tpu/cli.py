@@ -445,6 +445,10 @@ class Interpreter:
                     s.shapepr = prior
                 elif key == "pinvarpr":
                     s.pinvarpr = prior
+                elif key == "covswitchpr":
+                    if prior.kind == "exp":
+                        prior = Prior("exponential", prior.params)
+                    s.covswitchpr = prior
                 elif key == "omegapr":
                     s.omegapr = prior
                 elif key == "ny98omega1pr":

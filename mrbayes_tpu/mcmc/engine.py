@@ -68,6 +68,8 @@ class DivCfg:
     omega_group: int = -1         # omegavar=equal (M0)
     ny98_group: int = -1          # omegavar=ny98
     aamodel_group: int = -1       # aamodelpr=mixed (rjMCMC over aa models)
+    covswitch_group: int = -1     # covarion=yes, sampled switch rates
+    fixed_covswitch: np.ndarray | None = None  # covswitchpr=fixed(s01,s10)
 
 
 def _scalar_prior_lpdf(prior: Prior, x):
@@ -284,6 +286,20 @@ class Engine:
                 cfg.pinvar_group = group_of("pinvar", d, repr(s.pinvarpr))
             if cfg.pi_group < 0 and cfg.fixed_pi is None:
                 cfg.fixed_pi = np.full(div.n_states, 1.0 / div.n_states)
+            if s.covarion and (is_prot or (is_nuc and s.nucmodel == "4by4")):
+                # Tuffley-Steel covarion: doubled state space with sampled
+                # (or fixed) switching rates (reference: lset covarion=yes,
+                # prset covswitchpr, src/likelihood.c:8269)
+                if s.rates in ("propinv", "invgamma"):
+                    raise ValueError(
+                        "covarion cannot combine with propinv/invgamma "
+                        "(the reference forbids pinvar under covarion)")
+                if s.covswitchpr.kind == "fixed":
+                    cfg.fixed_covswitch = np.asarray(
+                        s.covswitchpr.params or (1.0, 1.0), np.float64)
+                else:
+                    cfg.covswitch_group = group_of(
+                        "covswitch", d, repr(s.covswitchpr))
             self.div_cfg.append(cfg)
 
         self.n_groups = {p: len(v) for p, v in counters.items()}
@@ -299,7 +315,9 @@ class Engine:
                                    ("tratio", cfg.tratio_group, s.tratiopr),
                                    ("shape", cfg.shape_group, s.shapepr),
                                    ("pinvar", cfg.pinvar_group, s.pinvarpr),
-                                   ("omega", cfg.omega_group, s.omegapr)]:
+                                   ("omega", cfg.omega_group, s.omegapr),
+                                   ("covswitch", cfg.covswitch_group,
+                                    s.covswitchpr)]:
                 if gid >= 0:
                     self.group_priors.setdefault((param, gid), pr)
             if cfg.ny98_group >= 0:
@@ -386,7 +404,12 @@ class Engine:
                 self.weights.append(jnp.asarray(w))
                 self.const_masks.append(None)
                 continue
-            self.tip_partials.append(jnp.asarray(d.tip_partials()))
+            tp = d.tip_partials()
+            if cfg.covswitch_group >= 0 or cfg.fixed_covswitch is not None:
+                # covarion: an observed base is compatible with both the
+                # on- and off-copy of its state
+                tp = np.concatenate([tp, tp], axis=-1)
+            self.tip_partials.append(jnp.asarray(tp))
             self.weights.append(jnp.asarray(d.weights, jnp.float32))
             self.const_masks.append(
                 jnp.asarray(constant_state_mask(d.patterns, d.n_states)))
@@ -581,6 +604,12 @@ class Engine:
                                2.0, 10.0, 0.25, -1, 0.5, 1e4))
             mk.append(MoveSpec("revmat_dirmix", mv_dirmix,
                                2.0, 200.0, 0.25, -1, 1.0, 1e5))
+        if self.n_groups.get("covswitch"):
+            mk.append(MoveSpec(
+                "covswitch_mult",
+                partial(M.make_multiplier_move("covswitch", 1e-3, 1e3),
+                        n_tips=n), 1.5, 2.0 * np.log(1.5), 0.25, 1,
+                1e-3, 20.0))
         if self.n_groups.get("tratio"):
             mk.append(MoveSpec(
                 "tratio_mult",
@@ -679,6 +708,8 @@ class Engine:
         if self.n_groups.get("aamodel"):
             st["aamodel_idx"] = jnp.zeros((self.n_groups["aamodel"],),
                                           jnp.int32)
+        if self.n_groups.get("covswitch"):
+            st["covswitch"] = jnp.ones((self.n_groups["covswitch"], 2))
         if self.n_groups.get("revmat"):
             st["revmat"] = jnp.full((self.n_groups["revmat"], 6), 1.0 / 6)
             if self._mixed_rev:
@@ -795,6 +826,10 @@ class Engine:
         only when upDateCijk is set, src/likelihood.c:10476)."""
         out = dict(state)
         for i in range(self.n_div):
+            if self.div_cfg[i].covswitch_group >= 0 or \
+                    self.div_cfg[i].fixed_covswitch is not None:
+                continue   # covarion eigensystems are rate-dependent and
+                           # rebuilt inline in _covarion_loglik
             lam, U, Uinv = self._division_eig(state, i)
             out[f"eigL{i}"] = lam
             out[f"eigU{i}"] = U
@@ -820,6 +855,9 @@ class Engine:
                   else jnp.asarray(cfg.fixed_pi, jnp.float32))
             if cfg.codon is not None:
                 total = total + self._codon_loglik(state, i, cfg, pi, blen)
+                continue
+            if cfg.covswitch_group >= 0 or cfg.fixed_covswitch is not None:
+                total = total + self._covarion_loglik(state, i, cfg, blen)
                 continue
             if cfg.div.dtype is DataType.PROTEIN and cfg.aamodel_group >= 0:
                 _, pi_stack = self._aa_stacks()
@@ -858,6 +896,37 @@ class Engine:
                 lam, U, Uinv, pi, rates, pinv, cmask, self.n_tips,
                 rate_mult=mult, coding=coding)
         return total
+
+    def _covarion_loglik(self, state, i, cfg: DivCfg, blen):
+        """Tuffley-Steel covarion likelihood: doubled state space, one
+        eigensystem per rate category because the category rate scales the
+        substitution block but not the switch rates (reference
+        TiProbs_GenCov src/likelihood.c:9568, UpDateCijk :10511-10522)."""
+        from ..models.substitution import covarion_q
+        s = cfg.settings
+        Q, pi = self._division_q_pi(state, i)
+        if cfg.covswitch_group >= 0:
+            swr = state["covswitch"][cfg.covswitch_group]
+        else:
+            swr = jnp.asarray(cfg.fixed_covswitch, jnp.float32)
+        if cfg.shape_group >= 0:
+            if s.rates == "lnorm":
+                rates = discrete_lognormal(state["shape"][cfg.shape_group],
+                                           cfg.n_cats)
+            else:
+                rates = self._gamma_tables[cfg.n_cats](
+                    state["shape"][cfg.shape_group])
+        else:
+            rates = jnp.ones((1,))
+        if self.ratemult_on:
+            rates = rates * state["ratemult"][i] / self.div_char_frac[i]
+        Qc, pic = jax.vmap(lambda r: covarion_q(Q, pi, swr[0], swr[1], r))(
+            rates)
+        lam, U, Uinv = eigh_reversible(Qc, pic[0])
+        return division_loglik(
+            state["left"], state["right"], state["parent"], blen,
+            self.tip_partials[i], self.weights[i], lam, U, Uinv, pic[0],
+            jnp.ones((rates.shape[0],)), 0.0, None, self.n_tips)
 
     def _codon_loglik(self, state, i, cfg: DivCfg, pi, blen):
         """NY98/GY94 codon likelihood: 61-state pruning, optionally with
@@ -931,6 +1000,11 @@ class Engine:
                 x = v / (1.0 + v)
                 a, b = (pr.params + (1.0, 1.0))[:2]
                 lp = lp + beta_lpdf(x, a, b) - 2.0 * jnp.log1p(v)
+            elif param == "covswitch":
+                # both switch rates iid under the prior (reference fills
+                # both from the same distribution, src/model.c:11891-11897)
+                lp = lp + jnp.sum(_scalar_prior_lpdf(
+                    pr, state["covswitch"][gid]))
             elif param == "omega1":
                 lp = lp + beta_lpdf(state["omega1"][gid], *pr.params)
             elif param == "omega3":

@@ -345,15 +345,18 @@ def make_simplex_move(field, groups: list[int] | None = None):
 
 
 def make_multiplier_move(field, lo, hi):
-    """Multiplier move on one random element of a [n_groups] parameter."""
+    """Multiplier move on one random element of a parameter array
+    (flattened, so multi-column parameters like the two covarion switch
+    rates get per-element updates)."""
     def move(key, state, tuning, n_tips):
         k1, k2 = jax.random.split(key)
         arr = state[field]
-        gi = jax.random.randint(k1, (), 0, arr.shape[0])
+        flat = arr.reshape(-1)
+        gi = jax.random.randint(k1, (), 0, flat.shape[0])
         m = jnp.exp(tuning * (jax.random.uniform(k2) - 0.5))
-        new = arr[gi] * m
+        new = flat[gi] * m
         ok = (new >= lo) & (new <= hi)
-        return ({**state, field: arr.at[gi].set(new)},
+        return ({**state, field: flat.at[gi].set(new).reshape(arr.shape)},
                 jnp.where(ok, jnp.log(m), NEG_INF))
     move.__name__ = f"move_{field}_multiplier"
     return move

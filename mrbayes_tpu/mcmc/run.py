@@ -96,6 +96,12 @@ def param_columns(eng: Engine):
     for gid in range(eng.n_groups.get("pinvar", 0)):
         cols.append(("pinvar" + suffix("pinvar", gid),
                      lambda st, s, g=gid: float(st["pinvar"][s, g])))
+    for gid in range(eng.n_groups.get("covswitch", 0)):
+        # reference column names: s(off->on) / s(on->off) (mcmc.c print)
+        cols.append(("s(off->on)" + suffix("covswitch", gid),
+                     lambda st, s, g=gid: float(st["covswitch"][s, g, 0])))
+        cols.append(("s(on->off)" + suffix("covswitch", gid),
+                     lambda st, s, g=gid: float(st["covswitch"][s, g, 1])))
     for gid in range(eng.n_groups.get("aamodel", 0)):
         cols.append(("aamodel" + suffix("aamodel", gid),
                      lambda st, s, g=gid: float(st["aamodel_idx"][s, g])))

@@ -40,6 +40,8 @@ class DivisionSettings:
         "exponential", (1.0,)))
     codoncatfreqpr: Prior = field(default_factory=lambda: Prior(
         "dirichlet", (1.0, 1.0, 1.0)))
+    covswitchpr: Prior = field(default_factory=lambda: Prior(
+        "uniform", (0.0, 100.0)))     # covarion s01,s10 (bayes.c:784-785)
     aamodel: str = "poisson"          # protein: poisson|jones|dayhoff|mtrev|...
     aamodelpr: Prior = field(default_factory=lambda: Prior("fixed", ()))
     symdirihyperpr: Prior = field(default_factory=lambda: Prior("fixed", (-1.0,)))

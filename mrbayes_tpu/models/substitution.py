@@ -104,3 +104,35 @@ def codon_q(omega: jnp.ndarray, kappa: jnp.ndarray, pi: jnp.ndarray,
     Q = Q + jnp.eye(s) * diag[..., None]
     mu = -jnp.sum(pi * diag, axis=-1)
     return Q / mu[..., None, None]
+
+
+def covarion_q(qnorm: jnp.ndarray, pi: jnp.ndarray, s01: jnp.ndarray,
+               s10: jnp.ndarray, rate=1.0):
+    """Tuffley–Steel covarion generator over a doubled state space
+    [on-states, off-states] (reference: src/likelihood.c:8269-8420 for
+    the 8x8 nucleotide case, :8941 for the 40x40 covariotide/protein
+    case).
+
+    ``qnorm`` is the base reversible generator normalized to mean rate 1
+    at its own stationary distribution ``pi``.  The reference scales the
+    substitution block so the mean rate *of the covarion process* is 1:
+    its scaler is probOn * sum_i pi_i q_ij, so the block becomes
+    qnorm/probOn; a rate-category multiplier scales the substitution
+    block only (switch rates are category-independent — the reason the
+    reference needs per-category eigensystems, TiProbs_GenCov
+    src/likelihood.c:9568).
+
+    Returns (Q_cov [2S,2S], pi_cov [2S]); the process is reversible
+    w.r.t. pi_cov, so eigh_reversible applies.
+    """
+    s = qnorm.shape[-1]
+    prob_on = s01 / (s01 + s10)
+    off = jnp.where(jnp.eye(s, dtype=bool), 0.0,
+                    qnorm * (jnp.asarray(rate) / prob_on))
+    eye = jnp.eye(s)
+    top_left = off - eye * (jnp.sum(off, -1) + s10)[..., None]
+    top = jnp.concatenate([top_left, eye * s10], axis=-1)
+    bot = jnp.concatenate([eye * s01, -eye * s01], axis=-1)
+    Q = jnp.concatenate([top, bot], axis=-2)
+    pi_cov = jnp.concatenate([pi * prob_on, pi * (1.0 - prob_on)])
+    return Q, pi_cov

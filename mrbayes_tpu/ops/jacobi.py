@@ -45,8 +45,14 @@ def jacobi_eigh(A: jnp.ndarray, sweeps: int | None = None):
                                                  + jnp.outer(eye[q], eye[q]))
                  + sn[..., None, None] * (jnp.outer(eye[p], eye[q])
                                           - jnp.outer(eye[q], eye[p])))
-            A = jnp.swapaxes(G, -1, -2) @ A @ G
-            V = V @ G
+            # HIGHEST precision: TPU matmuls default to bf16 passes, which
+            # compounds to ~1e-2 error in P(t) over 8 sweeps x 28 rotations;
+            # these tiny s x s products are off the hot path.
+            import jax.lax as lax
+            A = jnp.matmul(jnp.matmul(jnp.swapaxes(G, -1, -2), A,
+                                      precision=lax.Precision.HIGHEST), G,
+                           precision=lax.Precision.HIGHEST)
+            V = jnp.matmul(V, G, precision=lax.Precision.HIGHEST)
     w = jnp.diagonal(A, axis1=-2, axis2=-1)
     return w, V
 

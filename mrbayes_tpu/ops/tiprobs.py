@@ -44,7 +44,11 @@ def transition_probs(lam: jnp.ndarray, U: jnp.ndarray, Uinv: jnp.ndarray,
     Returns [..., s, s], clipped to [0, 1].
     """
     elt = jnp.exp(lam * t[..., None])               # [..., s]
-    P = jnp.einsum("...ik,...k,...kj->...ij", U, elt, Uinv)
+    # HIGHEST precision: on TPU the default matmul runs bf16 passes; the
+    # eigenvector products need full f32 or P(t) picks up ~1e-3 error
+    # (the per-branch cost is negligible next to the pruning contractions)
+    P = jnp.einsum("...ik,...k,...kj->...ij", U, elt, Uinv,
+                   precision=jax.lax.Precision.HIGHEST)
     return jnp.clip(P, 0.0, 1.0)
 
 
