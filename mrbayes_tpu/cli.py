@@ -42,6 +42,7 @@ class Environment:
     calibrations: dict = field(default_factory=dict)  # name/taxon -> Prior
     enforced_constraints: list = field(default_factory=list)  # names
     deleted: set = field(default_factory=set)   # deleted taxon indices
+    pairs: tuple = ()                           # doublet pair definitions
     outgroup: int = 0
     seed: int = 1
     swapseed: int = 2
@@ -352,6 +353,19 @@ class Interpreter:
         flush()
         return sorted(set(out))
 
+    def do_pairs(self, args, base_dir):
+        """pairs 1:20, 2:19, ...;  — nucleotide pair (doublet) definitions
+        (reference DoPairs, src/command.c:5599)."""
+        text = "".join(args).replace(" ", "")
+        pairs = []
+        for piece in text.split(","):
+            if not piece:
+                continue
+            a, b = piece.split(":")
+            pairs.append((int(a) - 1, int(b) - 1))
+        self.env.pairs = tuple(pairs)
+        self.log(f"   Defined {len(pairs)} nucleotide pairs")
+
     def do_constraint(self, args, base_dir):
         """constraint <name> [hard|prob] = <taxa> (reference DoConstraint,
         src/command.c:2419).  Enforced only when listed in
@@ -590,6 +604,9 @@ class Interpreter:
         self._wire_dating(taxa, keep)
         div_settings = [replace(env.div_settings[d.user_index])
                         for d in divisions]
+        for s in div_settings:
+            if s.nucmodel == "doublet":
+                s.pairs = getattr(env, "pairs", ())
         links = None
         if env.links:
             links = {p: [groups[d.user_index] for d in divisions]

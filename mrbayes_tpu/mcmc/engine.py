@@ -70,6 +70,7 @@ class DivCfg:
     aamodel_group: int = -1       # aamodelpr=mixed (rjMCMC over aa models)
     covswitch_group: int = -1     # covarion=yes, sampled switch rates
     fixed_covswitch: np.ndarray | None = None  # covswitchpr=fixed(s01,s10)
+    doublet: bool = False         # nucmodel=doublet (16-state stem pairs)
 
 
 def _scalar_prior_lpdf(prior: Prior, x):
@@ -240,6 +241,27 @@ class Engine:
                                                 repr(s.tratiopr))
                 self.div_cfg.append(cfg)
                 continue
+            if is_nuc and s.nucmodel == "doublet":
+                cfg.doublet = True
+                cfg.pi_field = "pi16"
+                if s.statefreqpr.kind == "dirichlet":
+                    cfg.pi_group = group_of("pi16", d, repr(s.statefreqpr))
+                else:
+                    cfg.fixed_pi = np.full(16, 1.0 / 16)
+                if s.nst in ("6", "mixed"):
+                    cfg.revmat_group = group_of("revmat", d,
+                                                repr(s.revmatpr) + s.nst)
+                elif s.nst == "2":
+                    cfg.tratio_group = group_of("tratio", d,
+                                                repr(s.tratiopr))
+                if s.rates in ("gamma", "invgamma", "lnorm"):
+                    cfg.shape_group = group_of("shape", d, repr(s.shapepr))
+                    cfg.n_cats = s.ngammacat
+                if s.rates in ("propinv", "invgamma"):
+                    cfg.pinvar_group = group_of("pinvar", d,
+                                                repr(s.pinvarpr))
+                self.div_cfg.append(cfg)
+                continue
             if is_prot:
                 cfg.pi_field = "pi20"
             if div.dtype is DataType.RESTRICTION:
@@ -387,6 +409,43 @@ class Engine:
         tp = compat[:, pat_idx, :].astype(np.float32)
         return tp, counts.astype(np.float32)
 
+    def _doublet_tensors(self, cfg: DivCfg):
+        """Recode a nucleotide division as 16-state doublet patterns from
+        the user's pairs statement (reference: CompressData handles
+        2-chars-per-column doublet compression, src/model.c:2466; pairs
+        command src/command.c:5599)."""
+        d = cfg.div
+        pairs = cfg.settings.pairs
+        if not pairs:
+            raise ValueError("nucmodel=doublet requires a pairs statement")
+        local = {int(c): k for k, c in enumerate(d.char_ids)}
+        pl = [(local[a], local[b]) for (a, b) in pairs
+              if a in local and b in local]
+        covered = {x for ab in pl for x in ab}
+        if len(covered) != len(d.char_ids):
+            raise ValueError(
+                "doublet model: every character of the division must "
+                "belong to exactly one pair")
+        cols = d.patterns[:, d.pattern_of_char]          # [ntax, nchar]
+        first = cols[:, [a for a, _ in pl]]
+        second = cols[:, [b for _, b in pl]]
+        bf = ((first[..., None] >> np.arange(4)) & 1).astype(bool)
+        bs_ = ((second[..., None] >> np.arange(4)) & 1).astype(bool)
+        compat = (bf[..., :, None] & bs_[..., None, :]).reshape(
+            bf.shape[0], bf.shape[1], 16)                # [ntax, sites, 16]
+        key = np.ascontiguousarray(
+            np.packbits(compat, axis=-1).transpose(1, 0, 2).reshape(
+                compat.shape[1], -1))
+        uniq, inverse, counts = np.unique(key, axis=0, return_inverse=True,
+                                          return_counts=True)
+        first_site = np.full(len(uniq), -1, np.int64)
+        for s_i, inv in enumerate(inverse):
+            if first_site[inv] < 0:
+                first_site[inv] = s_i
+        tp = compat[:, first_site, :].astype(np.float32)
+        cmask = np.all(tp > 0, axis=0).astype(np.float32)  # [P, 16]
+        return tp, counts.astype(np.float32), cmask
+
     def _build_data_tensors(self):
         self._gamma_tables = {}
         for cfg in self.div_cfg:
@@ -403,6 +462,12 @@ class Engine:
                 self.tip_partials.append(jnp.asarray(tp))
                 self.weights.append(jnp.asarray(w))
                 self.const_masks.append(None)
+                continue
+            if cfg.doublet:
+                tp, w, cm = self._doublet_tensors(cfg)
+                self.tip_partials.append(jnp.asarray(tp))
+                self.weights.append(jnp.asarray(w))
+                self.const_masks.append(jnp.asarray(cm))
                 continue
             tp = d.tip_partials()
             if cfg.covswitch_group >= 0 or cfg.fixed_covswitch is not None:
@@ -538,6 +603,11 @@ class Engine:
                                partial(M.make_simplex_move("pi61"),
                                        n_tips=n),
                                2.0, 2000.0, 0.25, -1, 10.0, 1e7))
+        if self.n_groups.get("pi16"):
+            mk.append(MoveSpec("pi16_dir",
+                               partial(M.make_simplex_move("pi16"),
+                                       n_tips=n),
+                               2.0, 500.0, 0.25, -1, 1.0, 1e6))
         if self.n_groups.get("omega"):
             mk.append(MoveSpec(
                 "omega_mult",
@@ -631,7 +701,7 @@ class Engine:
                 "ratemult_dir",
                 partial(M.make_simplex_move("ratemult"), n_tips=n),
                 1.5, 300.0, 0.25, -1, 1.0, 1e5))
-        q_moves = {"pi_dir", "pi20_dir", "pi2_dir", "pi61_dir",
+        q_moves = {"pi_dir", "pi20_dir", "pi2_dir", "pi61_dir", "pi16_dir",
                    "omega_mult", "omega1_slider", "omega3_mult",
                    "aamodel_jump", "revmat_dir", "revmat_splitmerge",
                    "revmat_dirmix", "tratio_mult"}
@@ -698,6 +768,8 @@ class Engine:
             n61 = next(c.codon.n_states for c in self.div_cfg
                        if c.codon is not None)
             st["pi61"] = jnp.full((self.n_groups["pi61"], n61), 1.0 / n61)
+        if self.n_groups.get("pi16"):
+            st["pi16"] = jnp.full((self.n_groups["pi16"], 16), 1.0 / 16)
         if self.n_groups.get("omega"):
             st["omega"] = jnp.ones((self.n_groups["omega"],))
         if self.n_groups.get("ny98"):
@@ -786,6 +858,16 @@ class Engine:
             Q = codon_q(omegas, kappa, pi, jnp.asarray(single),
                         jnp.asarray(transition), jnp.asarray(nonsyn))
             return Q, pi
+        if cfg.doublet:
+            from ..models.substitution import doublet_q
+            if cfg.revmat_group >= 0:
+                r6 = state["revmat"][cfg.revmat_group]
+            elif cfg.tratio_group >= 0:
+                kap = state["tratio"][cfg.tratio_group]
+                r6 = jnp.ones((6,)).at[1].set(kap).at[4].set(kap)
+            else:
+                r6 = jnp.ones((6,))
+            return doublet_q(r6, pi), pi
         if cfg.div.dtype is DataType.PROTEIN:
             from ..models.aa_models import AA_MODELS
             if cfg.aamodel_group >= 0:
@@ -986,7 +1068,7 @@ class Engine:
                 symdir = pr.params[0] if pr.params else 1.0
                 lp = lp + ln_prior_mixed(state["gtr_class"][gid],
                                          state["revmat"][gid], symdir)
-            elif param in ("pi", "pi20", "pi2", "pi61", "revmat"):
+            elif param in ("pi", "pi20", "pi2", "pi61", "pi16", "revmat"):
                 x = state[param][gid]
                 alpha = jnp.full(x.shape, pr.params[0] if pr.params else 1.0)
                 lp = lp + dirichlet_lpdf(x, alpha)

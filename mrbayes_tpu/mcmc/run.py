@@ -90,6 +90,12 @@ def param_columns(eng: Engine):
         for k, nm in enumerate("ACGT"):
             cols.append((f"pi({nm})" + suffix("pi", gid),
                          lambda st, s, g=gid, k=k: float(st["pi"][s, g, k])))
+    doublets = [a + b for a in "ACGT" for b in "ACGT"]
+    for gid in range(eng.n_groups.get("pi16", 0)):
+        for k, nm in enumerate(doublets):
+            cols.append((f"pi({nm})" + suffix("pi16", gid),
+                         lambda st, s, g=gid, k=k:
+                         float(st["pi16"][s, g, k])))
     for gid in range(eng.n_groups.get("shape", 0)):
         cols.append(("alpha" + suffix("shape", gid),
                      lambda st, s, g=gid: float(st["shape"][s, g])))

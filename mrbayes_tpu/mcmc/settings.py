@@ -24,6 +24,9 @@ class DivisionSettings:
     nucmodel: str = "4by4"            # 4by4|doublet|codon|protein
     code: str = "universal"
     covarion: bool = False
+    pairs: tuple = ()                 # doublet model: ((i,j), ...) 0-based
+                                      # absolute columns (reference: pairs
+                                      # command, src/command.c:5599)
     coding: str = "all"               # ascertainment bias (standard/restriction)
     # prset
     statefreqpr: Prior = field(default_factory=lambda: Prior("dirichlet", (1.0,)))

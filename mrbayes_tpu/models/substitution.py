@@ -136,3 +136,42 @@ def covarion_q(qnorm: jnp.ndarray, pi: jnp.ndarray, s01: jnp.ndarray,
     Q = jnp.concatenate([top, bot], axis=-2)
     pi_cov = jnp.concatenate([pi * prob_on, pi * (1.0 - prob_on)])
     return Q, pi_cov
+
+
+def _doublet_class_table() -> np.ndarray:
+    """[16,16] class of each doublet pair: 0-5 = GTR rate index of the one
+    changing position (AC,AG,AT,CG,CT,GT), 6 = both positions change (rate
+    0).  State order AA,AC,AG,AT,CA,...,TT — first position major
+    (reference doublet[] table, src/bayes.c:651-666)."""
+    pair_idx = {frozenset((0, 1)): 0, frozenset((0, 2)): 1,
+                frozenset((0, 3)): 2, frozenset((1, 2)): 3,
+                frozenset((1, 3)): 4, frozenset((2, 3)): 5}
+    cls = np.full((16, 16), 6, np.int64)
+    for i in range(16):
+        f1, s1 = divmod(i, 4)
+        for j in range(16):
+            if i == j:
+                continue
+            f2, s2 = divmod(j, 4)
+            if f1 != f2 and s1 != s2:
+                continue
+            cls[i, j] = pair_idx[frozenset((f1, f2))] if f1 != f2 \
+                else pair_idx[frozenset((s1, s2))]
+    return cls
+
+
+_DOUBLET_CLS = _doublet_class_table()
+
+
+def doublet_q(rates6: jnp.ndarray, pi16: jnp.ndarray) -> jnp.ndarray:
+    """16-state doublet (RNA stem) generator: q_ij = r[class(i,j)] * pi_j
+    for doublets differing at one position, 0 when both change; normalized
+    to mean rate 1 (reference src/likelihood.c 16x16 branch).  rates6 is
+    the GTR 6-vector; pass (1,k,1,1,k,1) for nst=2 and ones for nst=1."""
+    r = jnp.concatenate([jnp.asarray(rates6),
+                         jnp.zeros((1,), jnp.asarray(rates6).dtype)])
+    mult = r[jnp.asarray(_DOUBLET_CLS)]
+    Q = mult * pi16[None, :]
+    Q = Q - jnp.eye(16) * jnp.sum(Q, -1, keepdims=True)
+    mu = -jnp.sum(pi16 * jnp.diagonal(Q))
+    return Q / mu

@@ -247,3 +247,74 @@ def test_covarion_engine_end_to_end(primates):
     assert np.all(np.isfinite(np.asarray(states["lnL"])))
     states, bk = eng.run_block(states, bk, 20)
     assert np.all(np.isfinite(np.asarray(states["lnL"])))
+
+
+def test_doublet_vs_oracle(rng):
+    """16-state doublet generator and engine likelihood vs float64 expm
+    pruning (reference: src/likelihood.c 16x16 branch; pairs command
+    src/command.c:5599)."""
+    from scipy.linalg import expm
+
+    from mrbayes_tpu.models.substitution import (_doublet_class_table,
+                                                 doublet_q)
+
+    # Q properties
+    r6 = np.array([1.0, 3.0, 0.7, 1.2, 3.5, 1.0])
+    pi16 = rng.dirichlet(np.ones(16) * 5)
+    Qj = doublet_q(jnp.asarray(r6, jnp.float32), jnp.asarray(pi16,
+                                                             jnp.float32))
+    Q = np.asarray(Qj, np.float64)
+    assert np.allclose(Q.sum(1), 0, atol=1e-5)
+    assert np.isclose(-(pi16 * np.diag(Q)).sum(), 1.0, atol=1e-5)
+    assert np.allclose(pi16[:, None] * Q, (pi16[:, None] * Q).T, atol=1e-6)
+    cls = _doublet_class_table()
+    # both-change pairs have rate 0; single-change rate r[k]*pi_j
+    i, j = 0, 5          # AA -> CC: both change
+    assert Q[i, j] == 0.0
+    i, j = 0, 4          # AA -> CA: first position A->C = class 0
+    assert cls[i, j] == 0
+
+    # pruning vs oracle on random doublet data
+    n_tips, npat = 6, 25
+    tp = (rng.random((n_tips, npat, 16)) < 0.3).astype(np.float64)
+    tp[..., 0] = 1.0     # ensure nonzero
+    w = rng.integers(1, 4, size=npat).astype(np.float64)
+    t = random_unrooted(n_tips, rng)
+    P = {v: expm(Q * t.blen[v]) for v in range(t.n_nodes)}
+    cl = {v: tp[v][:, None, :] for v in range(n_tips)}
+    for v in t.postorder():
+        l, r = t.left[v], t.right[v]
+        cl[v] = (np.einsum("sj,pkj->pks", P[l], cl[l])
+                 * np.einsum("sj,pkj->pks", P[r], cl[r]))
+    site = np.einsum("pks,s->p", cl[t.root], pi16)
+    want = float((w * np.log(site)).sum())
+    lam, U, Uinv = eigh_reversible(Qj, jnp.asarray(pi16, jnp.float32))
+    got = division_loglik(
+        jnp.array(t.left), jnp.array(t.right), jnp.array(t.parent),
+        jnp.array(t.blen, jnp.float32), jnp.array(tp, jnp.float32),
+        jnp.array(w, jnp.float32), lam, U, Uinv,
+        jnp.array(pi16, jnp.float32), jnp.ones((1,)), 0.0, None, n_tips)
+    assert np.isclose(float(got), want, rtol=0, atol=0.05 + 2e-5 * abs(want))
+
+
+def test_doublet_engine_end_to_end(primates):
+    """nucmodel=doublet end to end: pairs wiring, pi16 sampling, finite
+    likelihoods."""
+    from mrbayes_tpu.data import DataSet
+    from mrbayes_tpu.mcmc.engine import Engine
+    from mrbayes_tpu.mcmc.settings import DivisionSettings, McmcSettings
+
+    nchar = primates.matrix.nchar
+    n_use = 60   # 30 pairs, small and fast
+    pairs = tuple((i, i + n_use // 2) for i in range(n_use // 2))
+    part = [list(range(n_use))]
+    ds = DataSet(taxa=primates.taxa, nchar=nchar,
+                 divisions=make_divisions(primates.matrix, part))
+    eng = Engine(ds, [DivisionSettings(nst="6", rates="gamma", ngammacat=4,
+                                       nucmodel="doublet", pairs=pairs)],
+                 mcmc=McmcSettings(nruns=1, nchains=2, ngen=100, seed=5))
+    states, bk = eng.init_chains()
+    assert "pi16" in states
+    assert np.all(np.isfinite(np.asarray(states["lnL"])))
+    states, bk = eng.run_block(states, bk, 20)
+    assert np.all(np.isfinite(np.asarray(states["lnL"])))
