@@ -459,6 +459,8 @@ class Interpreter:
                     s.shapepr = prior
                 elif key == "pinvarpr":
                     s.pinvarpr = prior
+                elif key == "ratecorrpr":
+                    s.adgammacorpr = prior
                 elif key == "covswitchpr":
                     if prior.kind == "exp":
                         prior = Prior("exponential", prior.params)

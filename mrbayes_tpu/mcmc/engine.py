@@ -71,6 +71,7 @@ class DivCfg:
     covswitch_group: int = -1     # covarion=yes, sampled switch rates
     fixed_covswitch: np.ndarray | None = None  # covswitchpr=fixed(s01,s10)
     doublet: bool = False         # nucmodel=doublet (16-state stem pairs)
+    ratecorr_group: int = -1      # rates=adgamma autocorrelation rho
 
 
 def _scalar_prior_lpdf(prior: Prior, x):
@@ -301,11 +302,18 @@ class Engine:
                     self._mixed_rev.add(cfg.revmat_group)
             if is_nuc and s.nst == "2":
                 cfg.tratio_group = group_of("tratio", d, repr(s.tratiopr))
-            if s.rates in ("gamma", "invgamma", "lnorm"):
+            if s.rates in ("gamma", "invgamma", "lnorm", "adgamma"):
                 cfg.shape_group = group_of("shape", d, repr(s.shapepr))
                 cfg.n_cats = s.ngammacat
             if s.rates in ("propinv", "invgamma"):
                 cfg.pinvar_group = group_of("pinvar", d, repr(s.pinvarpr))
+            if s.rates == "adgamma":
+                # autocorrelated gamma: HMM over categories along sites
+                # (reference rates=adgamma; correlation param Ratecorrpr)
+                if s.covarion:
+                    raise ValueError("adgamma+covarion not supported")
+                cfg.ratecorr_group = group_of("ratecorr", d,
+                                              repr(s.adgammacorpr))
             if cfg.pi_group < 0 and cfg.fixed_pi is None:
                 cfg.fixed_pi = np.full(div.n_states, 1.0 / div.n_states)
             if s.covarion and (is_prot or (is_nuc and s.nucmodel == "4by4")):
@@ -339,7 +347,9 @@ class Engine:
                                    ("pinvar", cfg.pinvar_group, s.pinvarpr),
                                    ("omega", cfg.omega_group, s.omegapr),
                                    ("covswitch", cfg.covswitch_group,
-                                    s.covswitchpr)]:
+                                    s.covswitchpr),
+                                   ("ratecorr", cfg.ratecorr_group,
+                                    s.adgammacorpr)]:
                 if gid >= 0:
                     self.group_priors.setdefault((param, gid), pr)
             if cfg.ny98_group >= 0:
@@ -448,10 +458,24 @@ class Engine:
 
     def _build_data_tensors(self):
         self._gamma_tables = {}
-        for cfg in self.div_cfg:
-            if cfg.settings.rates in ("gamma", "invgamma") \
+        self._adg_maps = {}
+        for i, cfg in enumerate(self.div_cfg):
+            if cfg.settings.rates in ("gamma", "invgamma", "adgamma") \
                     and cfg.n_cats not in self._gamma_tables:
                 self._gamma_tables[cfg.n_cats] = GammaRateTable(cfg.n_cats)
+            if cfg.settings.rates == "adgamma":
+                # static site-order maps for the HMM: pattern index per
+                # site and the distance (jump) between successive sites
+                d = cfg.div
+                order = np.argsort(d.char_ids)
+                poc = d.pattern_of_char[order]
+                jumps = np.diff(np.asarray(d.char_ids)[order])
+                uniq = sorted(set(int(j) for j in jumps)) or [1]
+                jump_idx = np.zeros(len(poc), np.int32)
+                lut = {j: k for k, j in enumerate(uniq)}
+                jump_idx[1:] = [lut[int(j)] for j in jumps]
+                self._adg_maps[i] = (jnp.asarray(poc), jnp.asarray(jump_idx),
+                                     tuple(uniq))
         self.tip_partials = []
         self.weights = []
         self.const_masks = []
@@ -674,6 +698,11 @@ class Engine:
                                2.0, 10.0, 0.25, -1, 0.5, 1e4))
             mk.append(MoveSpec("revmat_dirmix", mv_dirmix,
                                2.0, 200.0, 0.25, -1, 1.0, 1e5))
+        if self.n_groups.get("ratecorr"):
+            mk.append(MoveSpec(
+                "ratecorr_slider",
+                partial(M.make_slider_move("ratecorr", -1.0, 1.0),
+                        n_tips=n), 1.5, 0.3, 0.25, 1, 1e-3, 2.0))
         if self.n_groups.get("covswitch"):
             mk.append(MoveSpec(
                 "covswitch_mult",
@@ -782,6 +811,8 @@ class Engine:
                                           jnp.int32)
         if self.n_groups.get("covswitch"):
             st["covswitch"] = jnp.ones((self.n_groups["covswitch"], 2))
+        if self.n_groups.get("ratecorr"):
+            st["ratecorr"] = jnp.zeros((self.n_groups["ratecorr"],))
         if self.n_groups.get("revmat"):
             st["revmat"] = jnp.full((self.n_groups["revmat"], 6), 1.0 / 6)
             if self._mixed_rev:
@@ -941,6 +972,9 @@ class Engine:
             if cfg.covswitch_group >= 0 or cfg.fixed_covswitch is not None:
                 total = total + self._covarion_loglik(state, i, cfg, blen)
                 continue
+            if cfg.ratecorr_group >= 0:
+                total = total + self._adgamma_loglik(state, i, cfg, pi, blen)
+                continue
             if cfg.div.dtype is DataType.PROTEIN and cfg.aamodel_group >= 0:
                 _, pi_stack = self._aa_stacks()
                 pi = pi_stack[state["aamodel_idx"][cfg.aamodel_group]]
@@ -1009,6 +1043,47 @@ class Engine:
             state["left"], state["right"], state["parent"], blen,
             self.tip_partials[i], self.weights[i], lam, U, Uinv, pic[0],
             jnp.ones((rates.shape[0],)), 0.0, None, self.n_tips)
+
+    def _adgamma_loglik(self, state, i, cfg: DivCfg, pi, blen):
+        """Autocorrelated-gamma (rates=adgamma) likelihood: pruning for
+        per-site category likelihoods, then the category HMM along sites
+        (reference Likelihood_Adgamma src/likelihood.c:5692 +
+        CalcLikeAdgamma src/mcmc.c:1575 + AutodGamma src/utils.c:8989)."""
+        from ..models.rates import adgamma_transition
+        from ..ops.pruning import adgamma_loglik_from_cats, root_partials
+        lam, U, Uinv = self._division_eig_cached(state, i)
+        rates = self._gamma_tables[cfg.n_cats](
+            state["shape"][cfg.shape_group])
+        mult = 1.0
+        if self.ratemult_on:
+            mult = state["ratemult"][i] / self.div_char_frac[i]
+        partials, logscale = root_partials(
+            state["left"], state["right"], state["parent"], blen,
+            self.tip_partials[i], lam, U, Uinv, rates, 0.0, self.n_tips,
+            mult)
+        rP = jnp.einsum("pks,s->pk", partials[2 * self.n_tips - 2], pi)
+        poc, jump_idx, uniq = self._adg_maps[i]
+        rho = state["ratecorr"][cfg.ratecorr_group]
+        M = adgamma_transition(rho, cfg.n_cats)
+        pows, cache = [], {}
+
+        def mpow(j):
+            if j in cache:
+                return cache[j]
+            if j == 1:
+                r = M
+            else:
+                h = mpow(j // 2)
+                r = jnp.matmul(h, h, precision=jax.lax.Precision.HIGHEST)
+                if j % 2:
+                    r = jnp.matmul(r, M,
+                                   precision=jax.lax.Precision.HIGHEST)
+            cache[j] = r
+            return r
+
+        M_pows = jnp.stack([mpow(int(j)) for j in uniq])
+        return adgamma_loglik_from_cats(rP[poc], logscale[poc], M_pows,
+                                        jump_idx)
 
     def _codon_loglik(self, state, i, cfg: DivCfg, pi, blen):
         """NY98/GY94 codon likelihood: 61-state pruning, optionally with

@@ -99,6 +99,9 @@ def param_columns(eng: Engine):
     for gid in range(eng.n_groups.get("shape", 0)):
         cols.append(("alpha" + suffix("shape", gid),
                      lambda st, s, g=gid: float(st["shape"][s, g])))
+    for gid in range(eng.n_groups.get("ratecorr", 0)):
+        cols.append(("corr" + suffix("ratecorr", gid),
+                     lambda st, s, g=gid: float(st["ratecorr"][s, g])))
     for gid in range(eng.n_groups.get("pinvar", 0)):
         cols.append(("pinvar" + suffix("pinvar", gid),
                      lambda st, s, g=gid: float(st["pinvar"][s, g])))

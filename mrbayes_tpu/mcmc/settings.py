@@ -34,6 +34,8 @@ class DivisionSettings:
     tratiopr: Prior = field(default_factory=lambda: Prior("beta", (1.0, 1.0)))
     shapepr: Prior = field(default_factory=lambda: Prior("exponential", (1.0,)))
     pinvarpr: Prior = field(default_factory=lambda: Prior("uniform", (0.0, 1.0)))
+    adgammacorpr: Prior = field(default_factory=lambda: Prior(
+        "uniform", (-1.0, 1.0)))     # adgamma rho (bayes.c:777 "Uniform")
     omegavar: str = "equal"           # codon: equal (M0) | ny98 | m3
     omegapr: Prior = field(default_factory=lambda: Prior("dirichlet",
                                                          (1.0, 1.0)))

@@ -79,3 +79,38 @@ def discrete_lognormal(sigma: jnp.ndarray, k: int) -> jnp.ndarray:
     z = ndtri(p)
     r = jnp.exp(sigma[..., None] * z - 0.5 * sigma[..., None] ** 2)
     return r * (k / jnp.sum(r, axis=-1, keepdims=True))
+
+
+def adgamma_transition(rho: jnp.ndarray, k: int,
+                       n_quad: int = 32) -> jnp.ndarray:
+    """HMM transition matrix between adjacent sites' gamma rate categories
+    for the autocorrelated (adgamma) model: a bivariate standard normal
+    copula over the K equal-probability buckets (reference AutodGamma,
+    src/utils.c:8989 — binormal CDF differenced at normal quantiles,
+    scaled by K and row-normalized).
+
+    The binormal CDF is evaluated through its derivative identity
+    dPhi2/drho = phi2(x,y;rho) with fixed Gauss-Legendre quadrature over
+    [0, rho] — a straight-line traced graph.
+    """
+    from numpy.polynomial.legendre import leggauss
+    import scipy.stats as st
+    z = np.r_[st.norm.ppf(np.arange(1, k) / k), 20.0]   # bucket upper cuts
+    zz = np.array(np.meshgrid(z, z, indexing="ij"))      # [2, K, K]
+    x, y = jnp.asarray(zz[0]), jnp.asarray(zz[1])
+    nodes, wts = leggauss(n_quad)
+    nodes = jnp.asarray(nodes, jnp.float32)
+    wts = jnp.asarray(wts, jnp.float32)
+    rho = jnp.clip(jnp.asarray(rho), -0.999, 0.999)
+    r = 0.5 * rho * (nodes + 1.0)                        # [Q]
+    w = 0.5 * rho * wts
+    om = 1.0 - r * r
+    dens = jnp.exp(-(x[..., None] ** 2 - 2.0 * r * x[..., None]
+                     * y[..., None] + y[..., None] ** 2) / (2.0 * om)) \
+        / (2.0 * jnp.pi * jnp.sqrt(om))                  # [K, K, Q]
+    phi = jnp.asarray(st.norm.cdf(np.asarray(zz)), jnp.float32)
+    C = phi[0] * phi[1] + jnp.sum(dens * w, axis=-1)     # Phi2 grid [K, K]
+    Cp = jnp.pad(C, ((1, 0), (1, 0)))
+    cell = Cp[1:, 1:] - Cp[:-1, 1:] - Cp[1:, :-1] + Cp[:-1, :-1]
+    M = jnp.maximum(cell * k, 0.0)
+    return M / jnp.sum(M, axis=-1, keepdims=True)

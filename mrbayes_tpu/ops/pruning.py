@@ -24,37 +24,19 @@ from .traversal import postorder_internal
 _TINY = 1e-30
 
 
-def division_site_loglik(left: jnp.ndarray, right: jnp.ndarray,
-                         parent: jnp.ndarray, blen: jnp.ndarray,
-                         tip_partials: jnp.ndarray,
-                         lam: jnp.ndarray, U: jnp.ndarray, Uinv: jnp.ndarray,
-                         pi: jnp.ndarray, cat_rates: jnp.ndarray,
-                         pinv: jnp.ndarray | float,
-                         const_mask: jnp.ndarray | None,
-                         n_tips: int,
-                         rate_mult: jnp.ndarray | float = 1.0,
-                         cat_weights: jnp.ndarray | None = None) -> jnp.ndarray:
-    """Per-pattern log-likelihoods [P] for one division.
-
-    Shapes: left/right/parent/blen [2n-1]; tip_partials [n, P, S];
-    lam [S] (or [K, S] for per-category generators, e.g. omega classes);
-    U/Uinv [S, S] or [K, S, S]; pi [S]; cat_rates [K]; cat_weights [K]
-    (None = equal 1/K); const_mask [P, S] (None when pinv is fixed at 0).
-    """
+def root_partials(left, right, parent, blen, tip_partials, lam, U, Uinv,
+                  cat_rates, pinv, n_tips: int, rate_mult=1.0):
+    """Run the pruning pass; return (partials [n_nodes,P,K,S] with the root
+    row populated, logscale [P]).  Per-node max-rescaling keeps float32
+    partials in range; ``pinv > 0`` rescales the variable-class rate by
+    1/(1-pinv) (reference src/likelihood.c:9309-9310)."""
     n_nodes = 2 * n_tips - 1
     npat, s = tip_partials.shape[1], tip_partials.shape[2]
     k = cat_rates.shape[0]
     dtype = tip_partials.dtype
 
-    # P(t) for the edge above every node: [n_nodes, K, S, S].
-    # With +I the variable-class rate is scaled by 1/(1-pinv) so branch
-    # lengths stay in expected-substitutions-per-site units averaged over
-    # the invariable mixture (reference: src/likelihood.c:9309-9310
-    # "baseRate /= (1.0 - pInvar)").
     pinv0 = jnp.asarray(pinv, dtype)
-    base = jnp.asarray(rate_mult, dtype)
-    if const_mask is not None:
-        base = base / jnp.maximum(1.0 - pinv0, 1e-6)
+    base = jnp.asarray(rate_mult, dtype) / jnp.maximum(1.0 - pinv0, 1e-6)
     tau = blen.astype(dtype) * base
     eff = tau[:, None] * cat_rates[None, :].astype(dtype)
     P = transition_probs(lam.astype(dtype), U.astype(dtype),
@@ -83,6 +65,33 @@ def division_site_loglik(left: jnp.ndarray, right: jnp.ndarray,
 
     (partials, logscale), _ = jax.lax.scan(
         step, (partials, jnp.zeros((npat,), dtype)), order)
+    return partials, logscale
+
+
+def division_site_loglik(left: jnp.ndarray, right: jnp.ndarray,
+                         parent: jnp.ndarray, blen: jnp.ndarray,
+                         tip_partials: jnp.ndarray,
+                         lam: jnp.ndarray, U: jnp.ndarray, Uinv: jnp.ndarray,
+                         pi: jnp.ndarray, cat_rates: jnp.ndarray,
+                         pinv: jnp.ndarray | float,
+                         const_mask: jnp.ndarray | None,
+                         n_tips: int,
+                         rate_mult: jnp.ndarray | float = 1.0,
+                         cat_weights: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Per-pattern log-likelihoods [P] for one division.
+
+    Shapes: left/right/parent/blen [2n-1]; tip_partials [n, P, S];
+    lam [S] (or [K, S] for per-category generators, e.g. omega classes);
+    U/Uinv [S, S] or [K, S, S]; pi [S]; cat_rates [K]; cat_weights [K]
+    (None = equal 1/K); const_mask [P, S] (None when pinv is fixed at 0).
+    """
+    partials, logscale = root_partials(
+        left, right, parent, blen, tip_partials, lam, U, Uinv,
+        cat_rates, pinv if const_mask is not None else 0.0, n_tips,
+        rate_mult)
+    dtype = tip_partials.dtype
+    k = cat_rates.shape[0]
+    n_nodes = 2 * n_tips - 1
 
     root = n_nodes - 1
     if cat_weights is None:
@@ -157,3 +166,35 @@ def constant_state_mask(patterns, n_states: int):
     import numpy as np
     bits = (patterns[..., None] >> np.arange(n_states)) & 1  # [n,P,S]
     return np.all(bits, axis=0).astype(np.float32)
+
+
+def adgamma_loglik_from_cats(rP, ln_scale, M_pows, jump_idx):
+    """Autocorrelated-gamma HMM likelihood given per-site per-category
+    likelihoods (reference CalcLikeAdgamma, src/mcmc.c:1575: the forward
+    algorithm with uniform category frequencies).
+
+    rP [C, K]: rescaled per-site category likelihoods in original site
+    order; ln_scale [C] their log scalers; M_pows [U, K, K] powers of the
+    category transition matrix; jump_idx [C] static index into M_pows for
+    the jump from site c-1 to c (entry 0 unused).
+
+    Re-expressed TPU-first: the sequential forward recursion
+    F_c = diag(rP_c) M^{j_c} F_{c-1} becomes an associative scan over
+    normalized K x K site operators — O(log C) depth of batched small
+    matmuls instead of a C-step serial loop.
+    """
+    C, K = rP.shape
+    A = rP[:, :, None] * M_pows[jump_idx]            # diag(rP_c) @ M^j
+    A = A.at[0].set(jnp.diag(rP[0]))
+    m = jnp.maximum(jnp.max(A, axis=(1, 2)), _TINY)
+    A = A / m[:, None, None]
+
+    def comb(a, b):
+        Ma, la = a
+        Mb, lb = b
+        Mo = jnp.matmul(Mb, Ma, precision=jax.lax.Precision.HIGHEST)
+        mo = jnp.maximum(jnp.max(Mo, axis=(-2, -1)), _TINY)
+        return Mo / mo[..., None, None], la + lb + jnp.log(mo)
+
+    T, logs = jax.lax.associative_scan(comb, (A, jnp.log(m)))
+    return logs[-1] + jnp.sum(ln_scale) + jnp.log(jnp.sum(T[-1]) / K)

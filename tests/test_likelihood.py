@@ -318,3 +318,91 @@ def test_doublet_engine_end_to_end(primates):
     assert np.all(np.isfinite(np.asarray(states["lnL"])))
     states, bk = eng.run_block(states, bk, 20)
     assert np.all(np.isfinite(np.asarray(states["lnL"])))
+
+
+def test_adgamma_vs_oracle(rng):
+    """rates=adgamma: associative-scan HMM forward vs a float64 sequential
+    forward algorithm (reference CalcLikeAdgamma src/mcmc.c:1575)."""
+    from scipy.linalg import expm
+
+    from mrbayes_tpu.data import DataSet, Division
+    from mrbayes_tpu.mcmc.engine import Engine
+    from mrbayes_tpu.mcmc.settings import DivisionSettings, McmcSettings
+    from mrbayes_tpu.models.rates import adgamma_transition
+    from mrbayes_tpu.nexus.datatypes import DataType
+
+    n_tips, nchar, K = 6, 40, 4
+    codes = rng.integers(0, 4, size=(n_tips, nchar))
+    masks = (1 << codes).astype(np.uint32)
+    from mrbayes_tpu.data import compress_columns
+    pats, w, inv = compress_columns(masks)
+    div = Division(index=0, dtype=DataType.DNA, n_states=4, patterns=pats,
+                   weights=w, char_ids=np.arange(nchar),
+                   pattern_of_char=inv)
+    ds = DataSet(taxa=[f"t{i}" for i in range(n_tips)], nchar=nchar,
+                 divisions=[div])
+    eng = Engine(ds, [DivisionSettings(nst="6", rates="adgamma",
+                                       ngammacat=K)],
+                 mcmc=McmcSettings(nruns=1, nchains=1, seed=3))
+    st = eng.init_state(np.random.default_rng(0))
+    st["ratecorr"] = jnp.asarray([0.6])
+    got = float(eng.log_likelihood(st))
+
+    # float64 oracle: sequential forward algorithm
+    from mrbayes_tpu.trees import Tree
+    t = Tree(parent=np.asarray(st["parent"]), left=np.asarray(st["left"]),
+             right=np.asarray(st["right"]),
+             blen=np.asarray(st["blen"], np.float64), n_tips=n_tips)
+    pi = rv = None
+    pi = np.asarray(st["pi"][0], np.float64)
+    ex6 = np.asarray(st["revmat"][0], np.float64)
+    Q = ref.gtr_q(ex6, pi)
+    alpha = float(st["shape"][0])
+    # use the engine's own (table-interpolated) category rates
+    rates = np.asarray(eng._gamma_tables[K](st["shape"][0]), np.float64)
+    P = np.zeros((t.n_nodes, K, 4, 4))
+    for v in range(t.n_nodes):
+        for c in range(K):
+            P[v, c] = expm(Q * t.blen[v] * rates[c])
+    cl = np.zeros((t.n_nodes, pats.shape[1], K, 4))
+    bits = (pats[..., None] >> np.arange(4)) & 1
+    cl[:n_tips] = bits[:, :, None, :].astype(np.float64)
+    for v in t.postorder():
+        l, r = t.left[v], t.right[v]
+        cl[v] = (np.einsum("ksj,pkj->pks", P[l], cl[l])
+                 * np.einsum("ksj,pkj->pks", P[r], cl[r]))
+    rP = np.einsum("pks,s->pk", cl[t.root], pi)          # [P, K]
+    M = np.asarray(adgamma_transition(jnp.float32(0.6), K), np.float64)
+    F = rP[inv[0]].copy()
+    logs = 0.0
+    for c in range(1, nchar):
+        F = rP[inv[c]] * (M @ F)
+        m = F.max()
+        F /= m
+        logs += np.log(m)
+    want = float(logs + np.log(F.mean()))
+    assert np.isclose(got, want, rtol=0, atol=0.05 + 2e-5 * abs(want))
+
+
+def test_adgamma_mcmc_runs(rng):
+    """adgamma engine samples rho and stays finite through generations."""
+    from mrbayes_tpu.data import DataSet, Division, compress_columns
+    from mrbayes_tpu.mcmc.engine import Engine
+    from mrbayes_tpu.mcmc.settings import DivisionSettings, McmcSettings
+    from mrbayes_tpu.nexus.datatypes import DataType
+
+    n_tips, nchar = 6, 30
+    masks = (1 << rng.integers(0, 4, size=(n_tips, nchar))).astype(np.uint32)
+    pats, w, inv = compress_columns(masks)
+    div = Division(index=0, dtype=DataType.DNA, n_states=4, patterns=pats,
+                   weights=w, char_ids=np.arange(nchar),
+                   pattern_of_char=inv)
+    ds = DataSet(taxa=[f"t{i}" for i in range(n_tips)], nchar=nchar,
+                 divisions=[div])
+    eng = Engine(ds, [DivisionSettings(nst="2", rates="adgamma",
+                                       ngammacat=4)],
+                 mcmc=McmcSettings(nruns=1, nchains=2, seed=4))
+    states, bk = eng.init_chains()
+    assert "ratecorr" in states
+    states, bk = eng.run_block(states, bk, 25)
+    assert np.all(np.isfinite(np.asarray(states["lnL"])))
