@@ -43,6 +43,9 @@ class Environment:
     enforced_constraints: list = field(default_factory=list)  # names
     deleted: set = field(default_factory=set)   # deleted taxon indices
     pairs: tuple = ()                           # doublet pair definitions
+    move_overrides: dict = field(default_factory=dict)  # propset
+    start_tree_name: str | None = None          # startvals tau=<tree>
+    user_trees: dict = field(default_factory=dict)      # name -> newick
     outgroup: int = 0
     seed: int = 1
     swapseed: int = 2
@@ -101,6 +104,11 @@ class Interpreter:
             self.env.excluded = set()
             self.log(f"   Matrix has {nf.matrix.ntax} taxa and "
                      f"{nf.matrix.nchar} characters")
+        for tr in nf.trees:
+            self.env.user_trees[tr.name.lower()] = tr.newick
+        if nf.trees:
+            self.log(f"   Read {len(nf.trees)} user tree(s): "
+                     + ", ".join(t.name for t in nf.trees))
         base = os.path.dirname(os.path.abspath(path))
         for cmd in nf.commands:
             self.run_command(cmd, base_dir=base)
@@ -352,6 +360,42 @@ class Interpreter:
                 plain.append(t)
         flush()
         return sorted(set(out))
+
+    def do_propset(self, args, base_dir):
+        """propset <move>$<setting>=<value> ... — adjust proposal
+        probabilities/tuning (reference DoPropset, src/model.c:4282).
+        Move names are this engine's (see the acceptance-rate table)."""
+        toks = [t for t in args if t != ","]
+        i = 0
+        while i < len(toks):
+            piece = toks[i]
+            if i + 2 < len(toks) and toks[i + 1] == "=":
+                piece = piece + "=" + toks[i + 2]
+                i += 3
+            else:
+                i += 1
+            if "$" not in piece or "=" not in piece:
+                raise CommandError(f"propset: bad syntax {piece!r} "
+                                   "(want move$setting=value)")
+            mv, rest = piece.split("$", 1)
+            setting, val = rest.split("=", 1)
+            self.env.move_overrides.setdefault(mv.lower(), {})[
+                setting.lower()] = float(val)
+        self.log(f"   Set proposal parameters for "
+                 f"{len(self.env.move_overrides)} moves")
+
+    def do_startvals(self, args, base_dir):
+        """startvals tau=<treename> — user starting tree (reference
+        DoStartvals, src/model.c:10624; scalar params start at defaults)."""
+        for key, val in self._kv_pairs(args):
+            if key in ("tau", "topology", "tree"):
+                self.env.start_tree_name = val[0]
+            else:
+                self.log(f"   startvals: parameter {key!r} ignored "
+                         "(only tau=<tree> supported)")
+
+    def do_usertree(self, args, base_dir):
+        pass  # trees blocks register via execute
 
     def do_pairs(self, args, base_dir):
         """pairs 1:20, 2:19, ...;  — nucleotide pair (doublet) definitions
@@ -617,8 +661,27 @@ class Interpreter:
             self.log(f"   Division {d.index + 1} ({d.name}): "
                      f"{d.npat} unique site patterns, nst={s.nst} "
                      f"rates={s.rates}")
+        start_tree = None
+        if env.start_tree_name:
+            nm = env.start_tree_name.lower()
+            if nm not in env.user_trees:
+                raise CommandError(f"startvals: no user tree {nm!r}")
+            if env.tree_settings.clock:
+                self.log("   [startvals tau: clock starting trees not "
+                         "supported yet; using a random calibrated tree]")
+            else:
+                from .trees import parse_newick
+                start_tree = parse_newick(env.user_trees[nm], taxa)
+                # user trees without lengths parse as 0; give the
+                # reference's default starting length (0.1) so length
+                # multipliers aren't pinned at zero
+                free = np.ones(start_tree.n_nodes, bool)
+                free[[0, start_tree.root]] = False
+                bl = start_tree.blen
+                bl[free & (bl <= 1e-9)] = 0.1
         return Engine(ds, div_settings, env.tree_settings, env.mcmc,
-                      links=links)
+                      links=links, move_overrides=env.move_overrides,
+                      start_tree=start_tree)
 
     def _wire_dating(self, taxa: list[str], keep: "np.ndarray"):
         """Resolve calibrate/constraint declarations against the current
@@ -740,6 +803,37 @@ class Interpreter:
             if key in ("filename", "file"):
                 prefix = val[0]
         sumss(prefix, log=self.log)
+
+    def do_comparetree(self, args, base_dir):
+        from .summarize.compare import comparetree
+        f1 = f2 = out = None
+        burn = self.env.mcmc.burninfrac
+        for key, val in self._kv_pairs(args):
+            if key == "filename1":
+                f1 = val[0]
+            elif key == "filename2":
+                f2 = val[0]
+            elif key == "outputname":
+                out = val[0]
+            elif key == "burninfrac":
+                burn = float(val[0])
+        if not f1 or not f2:
+            raise CommandError("comparetree needs filename1 and filename2")
+        comparetree(f1, f2, outputname=out, burninfrac=burn, log=self.log)
+
+    def do_plot(self, args, base_dir):
+        from .summarize.compare import plot
+        prefix = self.env.mcmc.filename
+        param = "LnL"
+        burn = self.env.mcmc.burninfrac
+        for key, val in self._kv_pairs(args):
+            if key in ("filename", "file"):
+                prefix = val[0]
+            elif key == "parameter":
+                param = val[0]
+            elif key == "burninfrac":
+                burn = float(val[0])
+        plot(prefix, parameter=param, burninfrac=burn, log=self.log)
 
     def do_sump(self, args, base_dir):
         from .summarize.sump import sump

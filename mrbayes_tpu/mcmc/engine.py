@@ -115,17 +115,51 @@ class Engine:
                  div_settings: list[DivisionSettings],
                  tree_settings: TreeSettings | None = None,
                  mcmc: McmcSettings | None = None,
-                 links: dict[str, list[int]] | None = None):
+                 links: dict[str, list[int]] | None = None,
+                 move_overrides: dict | None = None,
+                 start_tree: Tree | None = None):
         self.data = dataset
         self.tree_settings = tree_settings or TreeSettings()
         self.mcmc = mcmc or McmcSettings()
         self.n_tips = dataset.ntax
         self.n_nodes = 2 * self.n_tips - 1
+        self.start_tree = start_tree
         assert len(div_settings) == len(dataset.divisions)
         self._build_dating()
         self._build_groups(div_settings, links)
         self._build_data_tensors()
         self._build_moves()
+        self._apply_move_overrides(move_overrides or {})
+
+    def _apply_move_overrides(self, overrides: dict):
+        """propset-style per-move control: name -> {prob|tuning|target|
+        tunable: value} (reference propset command, e.g.
+        ``propset ExtSPR$prob=0``, src/model.c DoPropset:4282)."""
+        if not overrides:
+            return
+        known = {m.name: m for m in self.moves}
+        for name, kv in overrides.items():
+            if name not in known:
+                raise ValueError(
+                    f"propset: unknown move {name!r}; active moves: "
+                    f"{sorted(known)}")
+            m = known[name]
+            for k, v in kv.items():
+                if k == "prob":
+                    m.weight = float(v)
+                elif k in ("tuning", "tuningparam"):
+                    m.tuning0 = float(v)
+                elif k in ("target", "targetrate"):
+                    m.target = float(v)
+                elif k == "tunable":
+                    m.tunable = bool(v)
+                else:
+                    raise ValueError(f"propset: unknown setting {k!r}")
+        self.moves = [m for m in self.moves if m.weight > 0.0]
+        if not self.moves:
+            raise ValueError("propset removed every move")
+        w = np.array([m.weight for m in self.moves])
+        self.move_logits = jnp.log(jnp.asarray(w / w.sum()))
 
     def _build_dating(self):
         """Static dating/constraint wiring: tip calibration ages, the
@@ -780,7 +814,8 @@ class Engine:
                 st["extinction"] = jnp.asarray([0.5], jnp.float32)
                 st["fossilization"] = jnp.asarray([0.1], jnp.float32)
         else:
-            t = tree or random_unrooted(self.n_tips, rng, mean_blen=0.1)
+            t = tree or self.start_tree \
+                or random_unrooted(self.n_tips, rng, mean_blen=0.1)
             st = {
                 "left": jnp.asarray(t.left), "right": jnp.asarray(t.right),
                 "parent": jnp.asarray(t.parent),

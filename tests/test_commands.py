@@ -1,0 +1,73 @@
+"""Command-surface tests: propset, startvals, comparetree, plot
+(reference: DoPropset src/model.c:4282, DoStartvals src/model.c:10624,
+DoCompareTree src/sumpt.c:3686, DoPlot)."""
+import os
+
+import numpy as np
+import pytest
+
+from mrbayes_tpu.cli import Interpreter
+
+SCRIPT = """#NEXUS
+begin trees;
+    tree mystart = ((1,2),((3,((4,5),6)),(7,((8,(9,10)),(11,12)))));
+end;
+begin mrbayes;
+    set autoclose=yes nowarnings=yes seed=7 swapseed=9;
+    execute "/root/reference/examples/primates.nex";
+    lset nst=2 rates=equal;
+    propset subtree_swap$prob=0 ext_spr$prob=20 ext_spr$tuning=0.7;
+    startvals tau=mystart;
+    mcmc ngen=400 nruns=2 nchains=2 samplefreq=100 printfreq=200
+         diagnfreq=400 file={prefix};
+    plot parameter=LnL;
+    comparetree filename1={prefix}.run1.t filename2={prefix}.run2.t
+                outputname={prefix}.cmp;
+end;
+"""
+
+
+@pytest.fixture(scope="module")
+def run(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cmds")
+    script = d / "cmds.nex"
+    script.write_text(SCRIPT.format(prefix=str(d / "out")))
+    lines = []
+    it = Interpreter(log=lines.append)
+    it.execute_file(str(script))
+    return d, lines, it
+
+
+def test_propset_applied(run):
+    d, lines, it = run
+    names = [m.name for m in it._last_runner.eng.moves]
+    assert "subtree_swap" not in names
+    assert "ext_spr" in names
+    spec = {m.name: m for m in it._last_runner.eng.moves}["ext_spr"]
+    assert spec.weight == 20.0
+    assert abs(spec.tuning0 - 0.7) < 1e-9
+
+
+def test_startvals_tree_used(run):
+    d, lines, it = run
+    eng = it._last_runner.eng
+    assert eng.start_tree is not None
+    # tips 0,1 are sisters in mystart
+    t = eng.start_tree
+    assert t.parent[0] == t.parent[1] or True  # re-rooted; check split
+    from mrbayes_tpu.mcmc.diagnostics import splits_of_tree
+    full = set(range(12))
+    splits = splits_of_tree(t)
+    assert frozenset(full - {0, 1}) in splits
+
+
+def test_comparetree_outputs(run):
+    d, lines, it = run
+    assert (d / "out.cmp.pairs").exists()
+    assert any("Root-mean-square split frequency difference" in ln
+               for ln in lines)
+
+
+def test_plot_ran(run):
+    d, lines, it = run
+    assert any("lnLike trace" in ln for ln in lines)
