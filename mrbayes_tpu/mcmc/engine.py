@@ -538,6 +538,22 @@ class Engine:
                 jnp.asarray(constant_state_mask(d.patterns, d.n_states)))
         w = np.array([float(c.div.weights.sum()) for c in self.div_cfg])
         self.div_char_frac = w / w.sum()   # ratemult weighting
+        # bit-coded state sets for parsimony-guided proposals (reference
+        # InitParsSets src/mcmc.c:6834); codon/doublet divisions use their
+        # underlying per-nucleotide patterns — the bias need not match the
+        # likelihood model, only be computed consistently
+        masks, factors = [], []
+        v_typ = 0.03    # reference default tuningParam[2] (model.c:22598)
+        for cfg in self.div_cfg:
+            dv = cfg.div
+            S = max(2, min(dv.n_states, 32))
+            divf = -np.log(max(1e-10, 1.0 / S
+                               - np.exp(-S / (S - 1.0) * v_typ) / S))
+            masks.append(dv.patterns.astype(np.uint32))
+            factors.append(dv.weights * divf)
+        self._pars_masks = jnp.asarray(np.concatenate(masks, axis=1))
+        self._pars_factors = jnp.asarray(
+            np.concatenate(factors), jnp.float32)
 
     def _build_moves(self):
         from . import clock as C
@@ -634,6 +650,11 @@ class Engine:
             mk.append(MoveSpec("subtree_swap",
                                partial(M.move_subtree_swap, n_tips=n),
                                2.0, 0.0, tunable=False))
+            mk.append(MoveSpec(
+                "pars_spr",
+                partial(M.make_pars_spr_move(self._pars_masks,
+                                             self._pars_factors), n_tips=n),
+                5.0, 0.1, 0.25, -1, 0.01, 1.0))
             mk.append(MoveSpec("blen_mult",
                                partial(M.move_blen_multiplier, n_tips=n),
                                15.0, 2.0 * np.log(1.6), 0.25, 1, 1e-3, 20.0))

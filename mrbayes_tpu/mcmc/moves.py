@@ -259,6 +259,94 @@ def move_subtree_swap(key, state, tuning, n_tips):
     return st, jnp.where(ok, lnH, NEG_INF)
 
 
+def make_pars_spr_move(pars_masks, pars_factors):
+    """Parsimony-biased SPR (reference Move_ParsSPR, src/proposal.c:10067;
+    Fitch machinery GetParsDP src/mcmc.c:4849, InitParsSets :6834).
+
+    Prune a random subtree, Fitch-downpass the remaining tree on bit-coded
+    state sets, score every candidate regraft edge w by the weighted count
+    of patterns where (set(w) | set(parent(w))) has no overlap with the
+    pruned subtree's set (each such pattern forces >= 1 extra change),
+    then pick the target from a softmax over -warp-scaled scores.  The
+    Hastings ratio is the forward/reverse softmax probability ratio (the
+    root-part scores are unchanged by the reattachment, so the reverse
+    distribution reuses them — same trick as the reference), plus the
+    uniform edge-split factor.
+
+    pars_masks: [n_tips, Ptot] uint32 state bitmasks over all divisions'
+    patterns; pars_factors: [Ptot] pattern weight x division warp factor
+    -log(1/S - exp(-S/(S-1) v_t)/S) with v_typical = 0.03 (the reference
+    default tuningParam[2]).  The softmax temperature (warp) is the
+    autotuned ``tuning``.
+    """
+    from ..ops.traversal import postorder_internal
+
+    def move(key, state, tuning, n_tips):
+        root = 2 * n_tips - 2
+        n_nodes = 2 * n_tips - 1
+        parent, left, blen = state["parent"], state["left"], state["blen"]
+        k1, k2, k3 = jax.random.split(key, 3)
+        idx = jnp.arange(n_nodes)
+        basal = left[root]
+        vmask = (idx != root) & (idx != 0) & (idx != basal)
+        v = _masked_choice(k1, vmask)
+        p = parent[v]
+        g = parent[p]
+        s = jnp.where(left[p] == v, state["right"][p], left[p])
+        merged = blen[s] + blen[p]
+        st = _replace_child(state, g, p, s)
+        st = {**st, "blen": st["blen"].at[s].set(merged)}
+        P2, L2, R2 = st["parent"], st["left"], st["right"]
+
+        # Fitch downpass on the detached tree (p's own set is junk but p
+        # is excluded from the candidates)
+        F = jnp.zeros((n_nodes, pars_masks.shape[1]), jnp.uint32)
+        F = F.at[:n_tips].set(pars_masks)
+        order = postorder_internal(P2, n_tips)
+
+        def fstep(F, w):
+            a, b = F[L2[w]], F[R2[w]]
+            inter = a & b
+            return F.at[w].set(jnp.where(inter > 0, inter, a | b)), None
+
+        F, _ = jax.lax.scan(fstep, F, order)
+
+        # candidate scores: d(w) = warp * sum_p factor_p [no overlap]
+        par_eff = jnp.where(P2 == root, 0, jnp.maximum(P2, 0))
+        y = (F | F[par_eff]) & F[v][None, :]
+        d = tuning * jnp.sum(
+            jnp.where(y == 0, pars_factors[None, :], 0.0), axis=-1)
+
+        sub = _subtree_mask(P2, v)
+        cmask = (~sub) & (idx != root) & (idx != 0) & (idx != p)
+        fwd_mask = cmask & (idx != s)
+        valid = jnp.any(fwd_mask)
+        fwd_logits = jnp.where(fwd_mask, -d, NEG_INF)
+        # no candidate (v's subtree spans all but the sibling): abort —
+        # the reference's abortMove guard (src/proposal.c:10160)
+        c = jnp.where(valid, jax.random.categorical(k2, fwd_logits), s)
+        lnq_fwd = fwd_logits[c] - jax.scipy.special.logsumexp(fwd_logits)
+        rev_logits = jnp.where(cmask & (idx != c), -d, NEG_INF)
+        lnq_rev = rev_logits[s] - jax.scipy.special.logsumexp(rev_logits)
+
+        # reattach p onto the edge above c, splitting uniformly
+        t_c = st["blen"][c]
+        u_split = jax.random.uniform(k3)
+        gw = P2[c]
+        st = _replace_child(st, gw, c, p)
+        st = _replace_child(st, p, s, c)
+        blen2 = st["blen"].at[p].set(u_split * t_c).at[c].set(
+            (1.0 - u_split) * t_c)
+        st = {**st, "blen": blen2}
+        lnH = (lnq_rev - lnq_fwd
+               + jnp.log(jnp.maximum(t_c, 1e-35))
+               - jnp.log(jnp.maximum(merged, 1e-35)))
+        return st, jnp.where(valid, lnH, NEG_INF)
+
+    move.__name__ = "move_pars_spr"
+    return move
+
+
 # ---------------------------------------------------------------------------
 # branch-length moves
 

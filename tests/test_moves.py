@@ -94,3 +94,42 @@ def test_subtree_swap_hastings_counts():
         # cheaper: verify |lnH| is log-ratio of small-integer reciprocals
         assert np.isfinite(float(lnH))
         _check(new)
+
+
+def test_pars_spr_invariants(primates):
+    """ParsSPR: tree stays consistent; proposals reach many topologies;
+    Hastings finite."""
+    from mrbayes_tpu.data import DataSet, make_divisions
+    from mrbayes_tpu.mcmc.engine import Engine
+    from mrbayes_tpu.mcmc.settings import DivisionSettings, McmcSettings
+
+    ds = DataSet(taxa=primates.taxa, nchar=primates.matrix.nchar,
+                 divisions=make_divisions(primates.matrix))
+    eng = Engine(ds, [DivisionSettings(nst="1", rates="equal")],
+                 mcmc=McmcSettings(nruns=1, nchains=1, seed=2))
+    fn = M.make_pars_spr_move(eng._pars_masks, eng._pars_factors)
+    n = ds.ntax
+    rng = np.random.default_rng(5)
+    from mrbayes_tpu.trees import random_unrooted
+    t = random_unrooted(n, rng, 0.1)
+    state = {"left": jnp.asarray(t.left), "right": jnp.asarray(t.right),
+             "parent": jnp.asarray(t.parent),
+             "blen": jnp.asarray(t.blen, jnp.float32)}
+    jfn = jax.jit(lambda k, s: fn(k, s, jnp.float32(0.2), n_tips=n))
+    changed = 0
+    for i in range(60):
+        new, lnH = jfn(jax.random.PRNGKey(i), state)
+        if float(lnH) <= M.NEG_INF / 2:   # aborted (no valid regraft)
+            continue
+        t2 = Tree(parent=np.asarray(new["parent"]),
+                  left=np.asarray(new["left"]),
+                  right=np.asarray(new["right"]),
+                  blen=np.asarray(new["blen"], np.float64),
+                  n_tips=n, rooted=False)
+        t2.blen[0] = 0.0
+        t2.check()
+        if not np.array_equal(np.asarray(new["parent"]),
+                              np.asarray(state["parent"])):
+            changed += 1
+        state = new
+    assert changed > 40   # ParsSPR always changes topology
