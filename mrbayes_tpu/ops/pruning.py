@@ -24,6 +24,29 @@ from .traversal import postorder_internal
 _TINY = 1e-30
 
 
+def make_pruner(tip_partials, n_cats: int, coding: str = "all"):
+    """Build the per-division Pallas pruning wiring (or None when the
+    working set would not fit VMEM).  ``tip_partials`` [n, P, S] must be
+    the exact constant later passed to division_loglik; ``coding`` != all
+    accounts for the appended dummy constant patterns."""
+    import numpy as np
+
+    from .pruning_pallas import PruningPallas
+    tp = np.asarray(tip_partials)
+    n_tips, P, S = tp.shape
+    if coding != "all":
+        dummy = np.broadcast_to(np.eye(S, dtype=tp.dtype), (n_tips, S, S))
+        tp = np.concatenate([tp, dummy], axis=1)
+    ks = n_cats * S
+    ksp = ((ks + 7) // 8) * 8
+    n_int = n_tips - 1
+    bstep_bytes = n_int * 2 * ksp * ksp * 4
+    scratch_bytes = (n_tips + n_int) * ksp * 128 * 4
+    if bstep_bytes + scratch_bytes > 12 * 1024 * 1024:
+        return None
+    return PruningPallas(tp, n_cats)
+
+
 def root_partials(left, right, parent, blen, tip_partials, lam, U, Uinv,
                   cat_rates, pinv, n_tips: int, rate_mult=1.0):
     """Run the pruning pass; return (partials [n_nodes,P,K,S] with the root
@@ -68,6 +91,38 @@ def root_partials(left, right, parent, blen, tip_partials, lam, U, Uinv,
     return partials, logscale
 
 
+def root_clv(left, right, parent, blen, tip_partials, lam, U, Uinv,
+             cat_rates, pinv, n_tips: int, rate_mult=1.0, pruner=None):
+    """Root conditional likelihoods ([P, K, S]) and per-pattern log
+    rescale sums ([P]).  Dispatches to the fused Pallas kernel when a
+    per-division ``PruningPallas`` wiring is supplied and the backend is
+    TPU (ops/pruning_pallas.py); otherwise the lax.scan pass."""
+    if pruner is not None and _pallas_enabled():
+        dtype = tip_partials.dtype
+        pinv0 = jnp.asarray(pinv, dtype)
+        base = jnp.asarray(rate_mult, dtype) / jnp.maximum(1.0 - pinv0, 1e-6)
+        tau = blen.astype(dtype) * base
+        eff = tau[:, None] * cat_rates[None, :].astype(dtype)
+        P = transition_probs(lam.astype(dtype), U.astype(dtype),
+                             Uinv.astype(dtype), eff)
+        order = postorder_internal(parent, n_tips)
+        return pruner(order, left, right, P)
+    partials, logscale = root_partials(
+        left, right, parent, blen, tip_partials, lam, U, Uinv,
+        cat_rates, pinv, n_tips, rate_mult)
+    return partials[2 * n_tips - 2], logscale
+
+
+def _pallas_enabled() -> bool:
+    import os
+    if os.environ.get("MB_TPU_NO_PALLAS"):
+        return False
+    if os.environ.get("MB_TPU_FORCE_PALLAS"):
+        return True
+    import jax
+    return jax.default_backend() == "tpu"
+
+
 def division_site_loglik(left: jnp.ndarray, right: jnp.ndarray,
                          parent: jnp.ndarray, blen: jnp.ndarray,
                          tip_partials: jnp.ndarray,
@@ -77,7 +132,8 @@ def division_site_loglik(left: jnp.ndarray, right: jnp.ndarray,
                          const_mask: jnp.ndarray | None,
                          n_tips: int,
                          rate_mult: jnp.ndarray | float = 1.0,
-                         cat_weights: jnp.ndarray | None = None) -> jnp.ndarray:
+                         cat_weights: jnp.ndarray | None = None,
+                         pruner=None) -> jnp.ndarray:
     """Per-pattern log-likelihoods [P] for one division.
 
     Shapes: left/right/parent/blen [2n-1]; tip_partials [n, P, S];
@@ -85,18 +141,16 @@ def division_site_loglik(left: jnp.ndarray, right: jnp.ndarray,
     U/Uinv [S, S] or [K, S, S]; pi [S]; cat_rates [K]; cat_weights [K]
     (None = equal 1/K); const_mask [P, S] (None when pinv is fixed at 0).
     """
-    partials, logscale = root_partials(
+    root_cl, logscale = root_clv(
         left, right, parent, blen, tip_partials, lam, U, Uinv,
         cat_rates, pinv if const_mask is not None else 0.0, n_tips,
-        rate_mult)
+        rate_mult, pruner=pruner)
     dtype = tip_partials.dtype
     k = cat_rates.shape[0]
-    n_nodes = 2 * n_tips - 1
 
-    root = n_nodes - 1
     if cat_weights is None:
         cat_weights = jnp.full((k,), 1.0 / k, dtype)
-    site_l = jnp.einsum("pks,k,s->p", partials[root],
+    site_l = jnp.einsum("pks,k,s->p", root_cl,
                         cat_weights.astype(dtype), pi.astype(dtype))
     site_l = jnp.maximum(site_l, _TINY)
     ln_var = jnp.log(site_l) + logscale
@@ -121,7 +175,8 @@ def division_loglik(left, right, parent, blen, tip_partials, weights,
                     lam, U, Uinv, pi, cat_rates, pinv, const_mask,
                     n_tips: int, rate_mult=1.0,
                     coding: str = "all",
-                    cat_weights: jnp.ndarray | None = None) -> jnp.ndarray:
+                    cat_weights: jnp.ndarray | None = None,
+                    pruner=None) -> jnp.ndarray:
     """Weighted log-likelihood of one division, with optional
     ascertainment-bias correction for datasets that by construction lack
     certain patterns (reference: AddDummyChars src/model.c:176; coding
@@ -141,7 +196,8 @@ def division_loglik(left, right, parent, blen, tip_partials, weights,
                 [const_mask, jnp.eye(s, dtype=const_mask.dtype)], axis=0)
     ln_site = division_site_loglik(
         left, right, parent, blen, tip_partials, lam, U, Uinv, pi,
-        cat_rates, pinv, const_mask, n_tips, rate_mult, cat_weights)
+        cat_rates, pinv, const_mask, n_tips, rate_mult, cat_weights,
+        pruner=pruner)
     dtype = ln_site.dtype
     if coding == "all":
         return jnp.sum(weights.astype(dtype) * ln_site)

@@ -1,0 +1,213 @@
+"""Fused Felsenstein pruning as a single Pallas TPU kernel.
+
+The lax.scan pruning pass in ``ops/pruning.py`` issues one XLA step per
+internal node (gather two children, two small contractions, rescale,
+scatter) — each step round-trips the [n_nodes, P, K, S] carry through HBM
+and pays per-step overhead.  For phylogenetic trees (tens of nodes, a few
+hundred site patterns) that overhead dominates the actual flops.
+
+This kernel fuses the whole postorder pass: all node partials live in a
+VMEM scratch buffer for the duration; each step is one [KS, KS] x [KS, P]
+matmul per child (the rate-category axis folded into a block-diagonal
+transition operator so the MXU sees a single dense contraction — the role
+of the reference's SSE/AVX CondLikeDown_* kernels, src/likelihood.c:1121-
+1417, with the pattern dimension on the 128-wide lane axis instead of SSE
+lanes), an elementwise product, and an always-on per-pattern max-rescale
+(role of CondLikeScaler_*, src/likelihood.c:4939-5612).
+
+Layout:
+  - patterns ride the lane axis (last dim, padded to 128),
+  - (rate-cat, state) fold into the sublane axis (padded to 8),
+  - the postorder is relabelled so step i writes slot n_tips+i; children
+    are pre-resolved to slot indices on the XLA side, so the kernel only
+    does leading-axis dynamic reads.
+
+Grid: (chains, pattern blocks) — both embarrassingly parallel.  A
+``jax.custom_batching.custom_vmap`` wrapper turns ``jax.vmap`` over chains
+into the grid dimension, so the MC3 engine's vmapped generation step uses
+the batched kernel transparently.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_TINY = 1e-30
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _kernel(lr_ref, bstep_ref, tips_ref, root_ref, ls_ref, cl_ref,
+            *, n_tips: int, n_int: int):
+    """One (chain, pattern-block) cell: full postorder pass in VMEM.
+
+    lr_ref    SMEM [n_int, 2]   child slot indices per step
+    bstep_ref VMEM [n_int, 2, KSp, KSp] block-diag tiprobs per step/child
+    tips_ref  VMEM [n_tips, KSp, Pblk]  tiled tip partials (shared)
+    root_ref  VMEM [KSp, Pblk]  root partials out
+    ls_ref    VMEM [1, Pblk]    per-pattern log rescale sum out
+    cl_ref    VMEM scratch [n_tips + n_int, KSp, Pblk]
+    """
+    cl_ref[0:n_tips] = tips_ref[:]
+    ls_ref[:] = jnp.zeros_like(ls_ref)
+
+    def step(i, _):
+        l = lr_ref[i, 0]
+        r = lr_ref[i, 1]
+        bl = bstep_ref[i, 0]
+        br = bstep_ref[i, 1]
+        wl = jnp.dot(bl, cl_ref[l], preferred_element_type=jnp.float32)
+        wr = jnp.dot(br, cl_ref[r], preferred_element_type=jnp.float32)
+        c = wl * wr
+        m = jnp.maximum(jnp.max(c, axis=0, keepdims=True), _TINY)
+        cl_ref[n_tips + i] = c / m
+        ls_ref[:] = ls_ref[:] + jnp.log(m)
+        return 0
+
+    jax.lax.fori_loop(0, n_int, step, 0, unroll=False)
+    root_ref[:] = cl_ref[n_tips + n_int - 1]
+
+
+def _pallas_batched(lr, bstep, tips, n_tips: int):
+    """lr [C, n_int, 2] int32; bstep [C, n_int, 2, KSp, KSp] f32;
+    tips [n_tips, KSp, Ppad] f32 (shared across chains).
+    Returns (root [C, KSp, Ppad], logscale [C, Ppad])."""
+    C, n_int = lr.shape[0], lr.shape[1]
+    ksp = bstep.shape[-1]
+    ppad = tips.shape[-1]
+    # pattern block: keep the whole scratch within a conservative VMEM
+    # budget (~8 MB) so big alignments grid over pattern blocks
+    n_slots = n_tips + n_int
+    budget = 8 * 1024 * 1024
+    pblk = ppad
+    while n_slots * ksp * pblk * 4 > budget and pblk > 128:
+        pblk //= 2
+    while ppad % pblk:
+        pblk //= 2
+    nblk = ppad // pblk
+
+    grid = (C, nblk)
+    kernel = functools.partial(_kernel, n_tips=n_tips, n_int=n_int)
+    root, ls = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, n_int, 2), lambda c, b: (c, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((None, n_int, 2, ksp, ksp),
+                         lambda c, b: (c, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_tips, ksp, pblk), lambda c, b: (0, 0, b),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, ksp, pblk), lambda c, b: (c, 0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 1, pblk), lambda c, b: (c, 0, b),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((C, ksp, ppad), jnp.float32),
+            jax.ShapeDtypeStruct((C, 1, ppad), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n_slots, ksp, pblk), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * C * n_int * 2 * ksp * ksp * ppad,
+            bytes_accessed=C * (n_int * 2 * ksp * ksp + 2 * ksp * ppad) * 4,
+            transcendentals=C * n_int * ppad,
+        ),
+    )(lr, bstep, tips)
+    return root, ls[:, 0, :]
+
+
+class PruningPallas:
+    """Per-division static wiring + the callable pruning op.
+
+    Built once per (division, engine); callable maps traced per-chain
+    (order, left, right, P-tensor) to (root partials [P, K, S],
+    logscale [P]).  ``tips`` is the constant [n_tips, P, S] tip-partial
+    tensor; K is the number of rate categories.
+    """
+
+    def __init__(self, tips: np.ndarray, n_cats: int):
+        n_tips, P, S = tips.shape
+        self.n_tips, self.P, self.S, self.K = n_tips, P, S, n_cats
+        self.KS = n_cats * S
+        self.KSp = _round_up(self.KS, 8)
+        self.Ppad = _round_up(P, 128)
+        t = np.ones((n_tips, self.KSp, self.Ppad), np.float32)
+        tt = np.transpose(np.asarray(tips, np.float32), (0, 2, 1))  # n,S,P
+        tiled = np.tile(tt, (1, n_cats, 1))                         # n,KS,P
+        t[:, :self.KS, :P] = tiled
+        t[:, self.KS:, :] = 0.0
+        self.tips_dev = jnp.asarray(t)
+        # block-diagonal expansion mask: eye(K) kron pattern
+        self._eyeK = jnp.eye(n_cats, dtype=jnp.float32)
+
+    def block_diag(self, Pmat):
+        """[n_nodes, K, S, S] -> [n_nodes, KSp, KSp] block diagonal."""
+        n = Pmat.shape[0]
+        B = jnp.einsum("nksj,kl->nkslj", Pmat.astype(jnp.float32),
+                       self._eyeK)
+        B = B.reshape(n, self.KS, self.KS)
+        if self.KSp != self.KS:
+            B = jnp.pad(B, ((0, 0), (0, self.KSp - self.KS),
+                            (0, self.KSp - self.KS)))
+        return B
+
+    def __call__(self, order, left, right, Pmat):
+        """order [n_int] postorder internal-node ids; left/right [n_nodes];
+        Pmat [n_nodes, K, S, S].  Returns (root [P, K, S], logscale [P])."""
+        n_tips = self.n_tips
+        n_int = order.shape[0]
+        n_nodes = left.shape[0]
+        # slot relabelling: node order[i] computes into slot n_tips + i
+        slot = jnp.zeros((n_nodes,), jnp.int32)
+        slot = slot.at[:n_tips].set(jnp.arange(n_tips, dtype=jnp.int32))
+        slot = slot.at[order].set(n_tips
+                                  + jnp.arange(n_int, dtype=jnp.int32))
+        lchild = left[order]
+        rchild = right[order]
+        lr = jnp.stack([slot[lchild], slot[rchild]], axis=-1)  # [n_int, 2]
+        B = self.block_diag(Pmat)
+        bstep = jnp.stack([B[lchild], B[rchild]], axis=1)  # [n_int,2,KSp,KSp]
+        root, ls = _pruning_root(lr, bstep, self.tips_dev, n_tips)
+        root = root[:self.KS, :self.P].reshape(self.K, self.S, self.P)
+        return jnp.transpose(root, (2, 0, 1)), ls[:self.P]
+
+
+def _pruning_root(lr, bstep, tips, n_tips: int):
+    """Unbatched entry: one chain. vmap lifts to the kernel's grid."""
+    return _make_pruning_root(n_tips)(lr, bstep, tips)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_pruning_root(n_tips: int):
+    @jax.custom_batching.custom_vmap
+    def fn(lr, bstep, tips):
+        root, ls = _pallas_batched(lr[None], bstep[None], tips, n_tips)
+        return root[0], ls[0]
+
+    @fn.def_vmap
+    def _rule(axis_size, in_batched, lr, bstep, tips):
+        lr_b, bstep_b, tips_b = in_batched
+        if not lr_b:
+            lr = jnp.broadcast_to(lr[None], (axis_size,) + lr.shape)
+        if not bstep_b:
+            bstep = jnp.broadcast_to(bstep[None],
+                                     (axis_size,) + bstep.shape)
+        if tips_b:
+            tips = tips[0]   # tips identical across chains by construction
+        root, ls = _pallas_batched(lr, bstep, tips, n_tips)
+        return (root, ls), (True, True)
+
+    return fn
