@@ -125,6 +125,20 @@ class Engine:
         self.n_nodes = 2 * self.n_tips - 1
         self.start_tree = start_tree
         assert len(div_settings) == len(dataset.divisions)
+        ts = self.tree_settings
+        self.best = bool(ts.speciestree)
+        if self.best:
+            if not ts.species_partition:
+                raise ValueError("topologypr=speciestree requires a "
+                                 "speciespartition")
+            self.n_species = len(ts.species_partition)
+            self.species_names = [nm for nm, _ in ts.species_partition]
+            tip_sp = np.full(self.n_tips, -1, np.int32)
+            for si, (_, idxs) in enumerate(ts.species_partition):
+                tip_sp[list(idxs)] = si
+            if (tip_sp < 0).any():
+                raise ValueError("speciespartition must cover every taxon")
+            self.tip_species = jnp.asarray(tip_sp)
         self._build_dating()
         self._build_groups(div_settings, links)
         self._build_data_tensors()
@@ -538,6 +552,34 @@ class Engine:
                 jnp.asarray(constant_state_mask(d.patterns, d.n_states)))
         w = np.array([float(c.div.weights.sum()) for c in self.div_cfg])
         self.div_char_frac = w / w.sum()   # ratemult weighting
+        # fused Pallas pruning wiring per division (used on TPU backends;
+        # None → lax.scan fallback). K must match the rate-category count
+        # each likelihood path passes at call time.
+        from ..ops.pruning import make_pruner
+        self._pruners: list = []
+        for i, cfg in enumerate(self.div_cfg):
+            s = cfg.settings
+            if cfg.codon is not None:
+                k = 3 if cfg.ny98_group >= 0 else 1
+                coding = "all"
+            elif cfg.covswitch_group >= 0 or cfg.fixed_covswitch is not None:
+                k = cfg.n_cats if cfg.shape_group >= 0 else 1
+                coding = "all"
+            elif cfg.ratecorr_group >= 0:
+                k = cfg.n_cats
+                coding = "all"
+            else:
+                k = (cfg.n_cats if s.rates in ("gamma", "invgamma", "lnorm")
+                     else 1)
+                coding = {"all": "all", "variable": "variable",
+                          "noabsencesites": "noabsence",
+                          "nopresencesites": "nopresence"}.get(s.coding,
+                                                               "all")
+                if cfg.div.dtype not in (DataType.STANDARD,
+                                         DataType.RESTRICTION):
+                    coding = "all"
+            self._pruners.append(
+                make_pruner(self.tip_partials[i], k, coding))
         # bit-coded state sets for parsimony-guided proposals (reference
         # InitParsSets src/mcmc.c:6834); codon/doublet divisions use their
         # underlying per-nucleotide patterns — the bias need not match the
@@ -560,6 +602,83 @@ class Engine:
         mk = []
         n = self.n_tips
         ts = self.tree_settings
+        if self.best:
+            G = self.n_div
+            S = self.n_species
+            TREE_FIELDS = ("left", "right", "parent", "age")
+
+            def gene_move(base):
+                """Apply a clock tree move to one random gene's tree
+                (reference gene-tree moves Move_GeneTree1-3 /
+                Move_NodeSliderGeneTree, src/best.c:1113-1714; here the
+                generic clock moves run on the gene slice and the MSC
+                prior enforces consistency via reject)."""
+                def mv(key, state, tuning, n_tips=n):
+                    kg, km = jax.random.split(key)
+                    g = jax.random.randint(kg, (), 0, G)
+                    sub = {f: state[f][g] for f in TREE_FIELDS}
+                    sub2, lnH = base(km, sub, tuning, n_tips)
+                    out = dict(state)
+                    for f in TREE_FIELDS:
+                        out[f] = state[f].at[g].set(sub2[f])
+                    return out, lnH
+                return mv
+
+            def species_move(base):
+                """Apply a clock tree move to the species tree (role of
+                reference Move_SpeciesTree, src/best.c:1715; topology and
+                age moves filtered through the joint MSC prior)."""
+                def mv(key, state, tuning, n_tips=S):
+                    sub = {"left": state["s_left"],
+                           "right": state["s_right"],
+                           "parent": state["s_parent"],
+                           "age": state["s_age"]}
+                    sub2, lnH = base(key, sub, tuning, S)
+                    out = {**state, "s_left": sub2["left"],
+                           "s_right": sub2["right"],
+                           "s_parent": sub2["parent"],
+                           "s_age": sub2["age"]}
+                    return out, lnH
+                return mv
+
+            mk.append(MoveSpec("gene_nni", gene_move(C.move_nni_clock),
+                               5.0, 0.0, tunable=False))
+            mk.append(MoveSpec("gene_spr", gene_move(C.move_spr_clock),
+                               5.0, 0.0, tunable=False))
+            mk.append(MoveSpec("gene_age_slider",
+                               gene_move(C.move_age_slider),
+                               15.0, 0.0, tunable=False))
+            mk.append(MoveSpec("gene_root_age", gene_move(C.move_root_age),
+                               3.0, 2.0 * np.log(1.2), 0.25, 1, 1e-4, 10.0))
+            mk.append(MoveSpec("gene_tree_stretch",
+                               gene_move(C.move_tree_stretch),
+                               3.0, 2.0 * np.log(1.1), 0.25, 1, 1e-4, 5.0))
+            mk.append(MoveSpec("sp_nni", species_move(C.move_nni_clock),
+                               3.0, 0.0, tunable=False))
+            mk.append(MoveSpec("sp_spr", species_move(C.move_spr_clock),
+                               2.0, 0.0, tunable=False))
+            mk.append(MoveSpec("sp_age_slider",
+                               species_move(C.move_age_slider),
+                               6.0, 0.0, tunable=False))
+            mk.append(MoveSpec("sp_root_age", species_move(C.move_root_age),
+                               2.0, 2.0 * np.log(1.2), 0.25, 1, 1e-4, 10.0))
+            mk.append(MoveSpec(
+                "popsize_mult",
+                partial(M.make_multiplier_move("popsize", 1e-8, 1e8),
+                        n_tips=n), 3.0, 2.0 * np.log(1.6), 0.25, 1,
+                1e-3, 20.0))
+            if ts.clockpr == "birthdeath":
+                mk.append(MoveSpec(
+                    "speciation_mult",
+                    partial(M.make_multiplier_move("speciation", 1e-6, 1e4),
+                            n_tips=n), 1.5, 2.0 * np.log(1.6), 0.25, 1,
+                    1e-3, 20.0))
+                mk.append(MoveSpec(
+                    "extinction_slider",
+                    partial(M.make_slider_move("extinction", 0.0, 1.0),
+                            n_tips=n), 1.5, 0.2, 0.25, 1, 1e-3, 1.0))
+            self._finish_moves(mk)
+            return
         if ts.clock:
             mk.append(MoveSpec("nni_clock",
                                partial(C.move_nni_clock, n_tips=n),
@@ -664,6 +783,13 @@ class Engine:
             mk.append(MoveSpec("treelen_mult",
                                partial(M.move_treelen_multiplier, n_tips=n),
                                2.0, 2.0 * np.log(1.6), 0.25, 1, 1e-3, 10.0))
+        self._finish_moves(mk)
+
+    def _finish_moves(self, mk):
+        """Append substitution-parameter moves shared by every tree mode
+        and finalize weights (tail of reference SetUpMoveTypes,
+        src/model.c:21618)."""
+        n = self.n_tips
         if self.n_groups.get("pi"):
             mk.append(MoveSpec("pi_dir",
                                partial(M.make_simplex_move("pi"), n_tips=n),
@@ -801,6 +927,38 @@ class Engine:
     def init_state(self, rng: np.random.Generator, tree: Tree | None = None):
         """One chain's state dict (host values)."""
         ts = self.tree_settings
+        if self.best:
+            from .best import init_compatible_trees
+            (st_sp, s_ages), genes = init_compatible_trees(
+                self.n_tips, self.n_species, np.asarray(self.tip_species),
+                rng, self.n_div)
+            st = {
+                "left": jnp.stack([jnp.asarray(t.left) for t, _ in genes]),
+                "right": jnp.stack([jnp.asarray(t.right) for t, _ in genes]),
+                "parent": jnp.stack([jnp.asarray(t.parent)
+                                     for t, _ in genes]),
+                "age": jnp.stack([jnp.asarray(a, jnp.float32)
+                                  for _, a in genes]),
+                "s_left": jnp.asarray(st_sp.left),
+                "s_right": jnp.asarray(st_sp.right),
+                "s_parent": jnp.asarray(st_sp.parent),
+                "s_age": jnp.asarray(s_ages, jnp.float32),
+            }
+            m = 2 * self.n_species - 1 if ts.popvarpr == "variable" else 1
+            if ts.popsizepr.kind == "gamma":
+                n0 = ts.popsizepr.params[0] / ts.popsizepr.params[1]
+            elif ts.popsizepr.kind == "lognormal":
+                n0 = float(np.exp(ts.popsizepr.params[0]))
+            elif ts.popsizepr.kind == "uniform":
+                n0 = 0.5 * (ts.popsizepr.params[0] + ts.popsizepr.params[1])
+            else:
+                n0 = ts.popsizepr.params[0] if ts.popsizepr.params else 1.0
+            st["popsize"] = jnp.full((m,), n0, jnp.float32)
+            if ts.clockpr == "birthdeath":
+                st["speciation"] = jnp.asarray([0.1], jnp.float32)
+                st["extinction"] = jnp.asarray([0.5], jnp.float32)
+            self._init_substitution_state(st)
+            return self.refresh_eigs(st)
         if ts.clock:
             from ..trees import random_clock_tree
             mean_age = 0.1
@@ -843,6 +1001,13 @@ class Engine:
                 "blen": jnp.asarray(np.clip(t.blen, 0.0, M.BRLEN_MAX)
                                     .astype(np.float32)),
             }
+        self._init_substitution_state(st)
+        return self.refresh_eigs(st)
+
+    def _init_substitution_state(self, st):
+        """Fill starting values for all sampled substitution-model
+        parameters (role of reference FillNormalParams,
+        src/model.c:11444)."""
         if self.n_groups.get("pi"):
             st["pi"] = jnp.full((self.n_groups["pi"], 4), 0.25)
         if self.n_groups.get("pi20"):
@@ -883,7 +1048,7 @@ class Engine:
             st["pinvar"] = jnp.full((self.n_groups["pinvar"],), 0.1)
         if self.ratemult_on:
             st["ratemult"] = jnp.asarray(self.div_char_frac, jnp.float32)
-        return self.refresh_eigs(st)
+        return st
 
     def init_chains(self, seed: int | None = None):
         """Vmapped initial states for all runs × chains + bookkeeping."""
@@ -1011,6 +1176,19 @@ class Engine:
         return self._division_eig(state, i)
 
     def log_likelihood(self, state):
+        if self.best:
+            # BEST: each division has its own strict-clock gene tree
+            # (reference src/best.c; likelihood same machinery per gene)
+            total = jnp.float32(0.0)
+            for i in range(self.n_div):
+                par = state["parent"][i]
+                age = state["age"][i]
+                blen = jnp.where(par >= 0,
+                                 age[jnp.maximum(par, 0)] - age, 0.0)
+                view = {**state, "left": state["left"][i],
+                        "right": state["right"][i], "parent": par}
+                total = total + self._division_lnL(view, i, blen)
+            return total
         if self.tree_settings.clock:
             from .clock import clock_blens
             blen = clock_blens(state, self.n_tips,
@@ -1018,56 +1196,57 @@ class Engine:
         else:
             blen = state["blen"]
         total = jnp.float32(0.0)
-        for i, cfg in enumerate(self.div_cfg):
-            s = cfg.settings
-            pi = (state[cfg.pi_field][cfg.pi_group] if cfg.pi_group >= 0
-                  else jnp.asarray(cfg.fixed_pi, jnp.float32))
-            if cfg.codon is not None:
-                total = total + self._codon_loglik(state, i, cfg, pi, blen)
-                continue
-            if cfg.covswitch_group >= 0 or cfg.fixed_covswitch is not None:
-                total = total + self._covarion_loglik(state, i, cfg, blen)
-                continue
-            if cfg.ratecorr_group >= 0:
-                total = total + self._adgamma_loglik(state, i, cfg, pi, blen)
-                continue
-            if cfg.div.dtype is DataType.PROTEIN and cfg.aamodel_group >= 0:
-                _, pi_stack = self._aa_stacks()
-                pi = pi_stack[state["aamodel_idx"][cfg.aamodel_group]]
-            elif cfg.div.dtype is DataType.STANDARD:
-                pi = jnp.full((cfg.div.n_states,), 1.0 / cfg.div.n_states)
-            coding = {"all": "all", "variable": "variable",
-                      "noabsencesites": "noabsence",
-                      "nopresencesites": "nopresence"}.get(s.coding, "all")
-            if cfg.div.dtype not in (DataType.STANDARD,
-                                     DataType.RESTRICTION):
-                coding = "all"
-            lam, U, Uinv = self._division_eig_cached(state, i)
-            if s.rates in ("gamma", "invgamma"):
-                rates = self._gamma_tables[cfg.n_cats](
-                    state["shape"][cfg.shape_group])
-            elif s.rates == "lnorm":
-                rates = discrete_lognormal(state["shape"][cfg.shape_group],
-                                           cfg.n_cats)
-            else:
-                rates = jnp.ones((1,))
-            pinv = (state["pinvar"][cfg.pinvar_group]
-                    if cfg.pinvar_group >= 0 else 0.0)
-            if cfg.pinvar_group >= 0:
-                # gamma rates describe the variable fraction; reference
-                # applies them unscaled (likelihood.c invgamma path)
-                cmask = self.const_masks[i]
-            else:
-                cmask = None
-            mult = 1.0
-            if self.ratemult_on:
-                mult = state["ratemult"][i] / self.div_char_frac[i]
-            total = total + division_loglik(
-                state["left"], state["right"], state["parent"],
-                blen, self.tip_partials[i], self.weights[i],
-                lam, U, Uinv, pi, rates, pinv, cmask, self.n_tips,
-                rate_mult=mult, coding=coding)
+        for i in range(self.n_div):
+            total = total + self._division_lnL(state, i, blen)
         return total
+
+    def _division_lnL(self, state, i, blen):
+        cfg = self.div_cfg[i]
+        s = cfg.settings
+        pi = (state[cfg.pi_field][cfg.pi_group] if cfg.pi_group >= 0
+              else jnp.asarray(cfg.fixed_pi, jnp.float32))
+        if cfg.codon is not None:
+            return self._codon_loglik(state, i, cfg, pi, blen)
+        if cfg.covswitch_group >= 0 or cfg.fixed_covswitch is not None:
+            return self._covarion_loglik(state, i, cfg, blen)
+        if cfg.ratecorr_group >= 0:
+            return self._adgamma_loglik(state, i, cfg, pi, blen)
+        if cfg.div.dtype is DataType.PROTEIN and cfg.aamodel_group >= 0:
+            _, pi_stack = self._aa_stacks()
+            pi = pi_stack[state["aamodel_idx"][cfg.aamodel_group]]
+        elif cfg.div.dtype is DataType.STANDARD:
+            pi = jnp.full((cfg.div.n_states,), 1.0 / cfg.div.n_states)
+        coding = {"all": "all", "variable": "variable",
+                  "noabsencesites": "noabsence",
+                  "nopresencesites": "nopresence"}.get(s.coding, "all")
+        if cfg.div.dtype not in (DataType.STANDARD,
+                                 DataType.RESTRICTION):
+            coding = "all"
+        lam, U, Uinv = self._division_eig_cached(state, i)
+        if s.rates in ("gamma", "invgamma"):
+            rates = self._gamma_tables[cfg.n_cats](
+                state["shape"][cfg.shape_group])
+        elif s.rates == "lnorm":
+            rates = discrete_lognormal(state["shape"][cfg.shape_group],
+                                       cfg.n_cats)
+        else:
+            rates = jnp.ones((1,))
+        pinv = (state["pinvar"][cfg.pinvar_group]
+                if cfg.pinvar_group >= 0 else 0.0)
+        if cfg.pinvar_group >= 0:
+            # gamma rates describe the variable fraction; reference
+            # applies them unscaled (likelihood.c invgamma path)
+            cmask = self.const_masks[i]
+        else:
+            cmask = None
+        mult = 1.0
+        if self.ratemult_on:
+            mult = state["ratemult"][i] / self.div_char_frac[i]
+        return division_loglik(
+            state["left"], state["right"], state["parent"],
+            blen, self.tip_partials[i], self.weights[i],
+            lam, U, Uinv, pi, rates, pinv, cmask, self.n_tips,
+            rate_mult=mult, coding=coding, pruner=self._pruners[i])
 
     def _covarion_loglik(self, state, i, cfg: DivCfg, blen):
         """Tuffley-Steel covarion likelihood: doubled state space, one
@@ -1098,7 +1277,8 @@ class Engine:
         return division_loglik(
             state["left"], state["right"], state["parent"], blen,
             self.tip_partials[i], self.weights[i], lam, U, Uinv, pic[0],
-            jnp.ones((rates.shape[0],)), 0.0, None, self.n_tips)
+            jnp.ones((rates.shape[0],)), 0.0, None, self.n_tips,
+            pruner=self._pruners[i])
 
     def _adgamma_loglik(self, state, i, cfg: DivCfg, pi, blen):
         """Autocorrelated-gamma (rates=adgamma) likelihood: pruning for
@@ -1106,18 +1286,18 @@ class Engine:
         (reference Likelihood_Adgamma src/likelihood.c:5692 +
         CalcLikeAdgamma src/mcmc.c:1575 + AutodGamma src/utils.c:8989)."""
         from ..models.rates import adgamma_transition
-        from ..ops.pruning import adgamma_loglik_from_cats, root_partials
+        from ..ops.pruning import adgamma_loglik_from_cats, root_clv
         lam, U, Uinv = self._division_eig_cached(state, i)
         rates = self._gamma_tables[cfg.n_cats](
             state["shape"][cfg.shape_group])
         mult = 1.0
         if self.ratemult_on:
             mult = state["ratemult"][i] / self.div_char_frac[i]
-        partials, logscale = root_partials(
+        root_cl, logscale = root_clv(
             state["left"], state["right"], state["parent"], blen,
             self.tip_partials[i], lam, U, Uinv, rates, 0.0, self.n_tips,
-            mult)
-        rP = jnp.einsum("pks,s->pk", partials[2 * self.n_tips - 2], pi)
+            mult, pruner=self._pruners[i])
+        rP = jnp.einsum("pks,s->pk", root_cl, pi)
         poc, jump_idx, uniq = self._adg_maps[i]
         rho = state["ratecorr"][cfg.ratecorr_group]
         M = adgamma_transition(rho, cfg.n_cats)
@@ -1160,9 +1340,11 @@ class Engine:
             state["left"], state["right"], state["parent"], blen,
             self.tip_partials[i], self.weights[i], lam, U, Uinv, pi,
             jnp.ones((n_cats,)), 0.0, None, self.n_tips,
-            rate_mult=mult, cat_weights=weights)
+            rate_mult=mult, cat_weights=weights, pruner=self._pruners[i])
 
     def log_prior(self, state):
+        if self.best:
+            return self._log_prior_best(state)
         if self.tree_settings.clock:
             return self._log_prior_clock(state)
         lp = jnp.float32(0.0)
@@ -1229,6 +1411,52 @@ class Engine:
                 state["ratemult"],
                 jnp.ones((self.n_div,)))
         return lp
+
+    def _log_prior_best(self, state):
+        """Joint gene-tree/species-tree prior (reference
+        LnJointGeneTreeSpeciesTreePr src/best.c:775 = species-tree prior +
+        Σ_genes MSC density) plus theta priors and ordering checks."""
+        from . import best as B
+        from . import clock as C
+        ts = self.tree_settings
+        S = self.n_species
+        M = 2 * S - 1
+        pf = B.ploidy_factor(ts.ploidy)
+        theta = pf * (state["popsize"] if ts.popvarpr == "variable"
+                      else jnp.broadcast_to(state["popsize"][0], (M,)))
+        lp = jnp.float32(0.0)
+        for g in range(self.n_div):
+            lp = lp + B.msc_gene_log_prior(
+                state["parent"][g], state["age"][g], self.tip_species,
+                state["s_parent"], state["s_age"], theta,
+                self.n_tips, S)
+
+        def treeage_lpdf(t1):
+            return _scalar_prior_lpdf(ts.treeagepr, t1)
+
+        if ts.clockpr == "birthdeath":
+            lp = lp + C.ln_birthdeath(state["s_age"], S,
+                                      state["speciation"][0],
+                                      state["extinction"][0],
+                                      ts.sampleprob, treeage_lpdf)
+            lp = lp + _scalar_prior_lpdf(ts.speciationpr,
+                                         state["speciation"][0])
+            lp = lp + _scalar_prior_lpdf(ts.extinctionpr,
+                                         state["extinction"][0])
+        else:
+            lp = lp + C.ln_uniform_clock(state["s_age"], S, treeage_lpdf)
+        lp = lp + jnp.sum(_scalar_prior_lpdf(ts.popsizepr,
+                                             state["popsize"]))
+        lp = lp + self._grouped_params_prior(state)
+
+        def ordered(par, age):
+            return jnp.all(jnp.where(
+                par >= 0, age[jnp.maximum(par, 0)] > age - 1e-12, True))
+
+        ok = ordered(state["s_parent"], state["s_age"])
+        for g in range(self.n_div):
+            ok = ok & ordered(state["parent"][g], state["age"][g])
+        return jnp.where(ok, lp, NEG_INF)
 
     def _log_prior_clock(self, state):
         from . import clock as C
@@ -1433,8 +1661,29 @@ class Engine:
         return [int(r * nc + np.argmin(tid[r * nc:(r + 1) * nc]))
                 for r in range(self.mcmc.nruns)]
 
+    @property
+    def tree_taxa_labels(self) -> list[str]:
+        """Tip labels of the headline posterior tree: species names in
+        BEST mode, taxa otherwise."""
+        return self.species_names if self.best else list(self.data.taxa)
+
+    def extract_gene_tree(self, states, slot: int, gene: int) -> Tree:
+        """One gene tree of one chain (BEST mode)."""
+        age = np.asarray(states["age"][slot, gene], np.float64)
+        parent = np.asarray(states["parent"][slot, gene])
+        blen = np.where(parent >= 0, age[np.maximum(parent, 0)] - age, 0.0)
+        return Tree(parent=parent,
+                    left=np.asarray(states["left"][slot, gene]),
+                    right=np.asarray(states["right"][slot, gene]),
+                    blen=blen, n_tips=self.n_tips, rooted=True)
+
     def effective_blens(self, states, slot: int) -> np.ndarray:
         """Substitution-unit branch lengths for one chain (host-side)."""
+        if self.best:
+            age = np.asarray(states["s_age"][slot], np.float64)
+            parent = np.asarray(states["s_parent"][slot])
+            return np.where(parent >= 0,
+                            age[np.maximum(parent, 0)] - age, 0.0)
         if not self.tree_settings.clock:
             return np.asarray(states["blen"][slot], np.float64)
         from .clock import clock_blens
@@ -1444,6 +1693,13 @@ class Engine:
             np.float64)
 
     def extract_tree(self, states, slot: int) -> Tree:
+        if self.best:
+            return Tree(
+                parent=np.asarray(states["s_parent"][slot]),
+                left=np.asarray(states["s_left"][slot]),
+                right=np.asarray(states["s_right"][slot]),
+                blen=self.effective_blens(states, slot),
+                n_tips=self.n_species, rooted=True)
         return Tree(
             parent=np.asarray(states["parent"][slot]),
             left=np.asarray(states["left"][slot]),

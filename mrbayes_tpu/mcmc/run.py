@@ -39,6 +39,20 @@ def param_columns(eng: Engine):
     cols.append(("TL" + ("{all}" if multi else ""),
                  lambda st, s: float(np.sum(eng.effective_blens(st, s)))))
     ts = eng.tree_settings
+    if getattr(eng, "best", False):
+        root = 2 * eng.n_species - 2
+        cols.append(("speciesTreeHeight",
+                     lambda st, s: float(st["s_age"][s, root])))
+        npop = (2 * eng.n_species - 1 if ts.popvarpr == "variable" else 1)
+        for k in range(npop):
+            nm = f"theta[{k + 1}]" if npop > 1 else "theta"
+            cols.append((nm, lambda st, s, k=k:
+                         float(st["popsize"][s, k])))
+        if ts.clockpr == "birthdeath":
+            cols.append(("net_speciation",
+                         lambda st, s: float(st["speciation"][s, 0])))
+            cols.append(("relative_extinction",
+                         lambda st, s: float(st["extinction"][s, 0])))
     if ts.clock:
         root = eng.n_nodes - 1
         cols.append(("TH" + ("{all}" if multi else ""),
@@ -186,8 +200,9 @@ class McmcRunner:
                          + "\t".join(n for n, _ in self.cols) + "\n")
                 tf.write(f"#NEXUS\n[ID: {seed_id:010d}]\n[Param: tree]\n"
                          "begin trees;\n   translate\n")
-                for i, name in enumerate(self.eng.data.taxa):
-                    sep = "," if i < len(self.eng.data.taxa) - 1 else ";"
+                labels = self.eng.tree_taxa_labels
+                for i, name in enumerate(labels):
+                    sep = "," if i < len(labels) - 1 else ";"
                     tf.write(f"       {i + 1} {name}{sep}\n")
             self.pf.append(pf)
             self.tf.append(tf)

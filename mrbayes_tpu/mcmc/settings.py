@@ -87,6 +87,13 @@ class TreeSettings:
     fossilizationpr: Prior = field(default_factory=lambda: Prior(
         "beta", (1.0, 1.0)))          # reference default, src/bayes.c:849-853
     nodeagepr: str = "unconstrained"  # unconstrained|calibrated
+    # BEST / multispecies coalescent (reference src/best.c; enabled by
+    # prset topologypr=speciestree after a speciespartition command)
+    speciestree: bool = False
+    ploidy: str = "diploid"           # diploid|haploid|zlinked
+    popvarpr: str = "equal"           # equal|variable (theta per population)
+    species_partition: list = field(default_factory=list)
+    # [(species name, [taxon indices])]
     # tip-date calibrations: taxon index -> Prior; "fixed" pins the age,
     # anything else samples it (reference DoCalibrate, src/command.c:1161)
     tip_calibrations: dict = field(default_factory=dict)
