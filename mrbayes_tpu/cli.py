@@ -33,6 +33,12 @@ class Environment:
     partition_names: dict = field(default_factory=dict)
     current_partition: str | None = None
     excluded: set = field(default_factory=set)
+    ctypes: dict = field(default_factory=dict)  # 0-based col -> ordered|irreversible
+    # speciespartition name -> [(species name, taxon tokens)], and the
+    # active one (reference DoSpeciespartition, src/command.c)
+    speciespartitions: dict = field(default_factory=dict)
+    current_speciespartition: str | None = None
+    report: dict = field(default_factory=dict)  # report command settings
     # settings per user-division (list index = user division)
     div_settings: list = field(default_factory=list)
     tree_settings: TreeSettings = field(default_factory=TreeSettings)
@@ -57,6 +63,14 @@ class Environment:
     def n_user_divs(self) -> int:
         if self.current_partition:
             return len(self.partitions[self.current_partition])
+        # default partition: one user division per datatype run (the
+        # reference's implicit partition for mixed(...) matrices)
+        if self.nexus is not None and self.nexus.matrix is not None:
+            seen = []
+            for dt in self.nexus.matrix.col_datatype:
+                if dt not in seen:
+                    seen.append(dt)
+            return len(seen)
         return 1
 
     def ensure_div_settings(self):
@@ -98,7 +112,10 @@ class Interpreter:
         if nf.matrix is not None:
             self.env.nexus = nf
             self.env.data_path = path
-            self.env.mcmc.filename = path
+            # outputs go to the working directory (the reference names its
+            # output files after the data file; keeping only the basename
+            # avoids writing next to read-only input locations)
+            self.env.mcmc.filename = os.path.basename(path)
             self.env.div_settings = [DivisionSettings()]
             self.env.current_partition = None
             self.env.excluded = set()
@@ -175,6 +192,16 @@ class Interpreter:
         return pairs
 
     @staticmethod
+    def _canon(key: str, names: tuple) -> str:
+        """Reference-style abbreviation matching: a key may be any
+        unambiguous prefix of a parameter name (reference IsSame/
+        CONSISTENT_WITH matching, src/command.c)."""
+        if key in names:
+            return key
+        hits = [n for n in names if n.startswith(key)]
+        return hits[0] if len(hits) == 1 else key
+
+    @staticmethod
     def _parse_prior(tokens: list[str]) -> Prior:
         """Parse 'exponential(10.0)' or 'dirichlet(1,1,1,1)' or 'fixed(equal)'
         possibly split across tokens."""
@@ -207,7 +234,7 @@ class Interpreter:
         self.env.ensure_div_settings()
         n = self.env.n_user_divs()
         for key, val in pairs:
-            if key == "applyto":
+            if self._canon(key, ("applyto",)) == "applyto":
                 inner = [t for t in val if t not in "(),"]
                 if any(t.lower() == "all" for t in inner):
                     return list(range(n))
@@ -247,6 +274,14 @@ class Interpreter:
                 self.env.ensure_div_settings()
                 self.log(f"   Setting partition to {matches[0]} "
                          f"({self.env.n_user_divs()} divisions)")
+            elif key == "speciespartition":
+                name = val[0]
+                matches = [p for p in self.env.speciespartitions
+                           if p.lower() == name.lower()]
+                if not matches:
+                    raise CommandError(f"unknown speciespartition {name!r}")
+                self.env.current_speciespartition = matches[0]
+                self.log(f"   Setting speciespartition to {matches[0]}")
             # usebeagle/beagle* silently accepted for compatibility
 
     def do_charset(self, args, base_dir):
@@ -325,15 +360,67 @@ class Interpreter:
         self.env.excluded -= set(self._expand_sets(args, nchar))
 
     def do_ctype(self, args, base_dir):
-        # ctype ordered|unordered|irreversible: chars — stored; the ordered
-        # Mk variant lands with the wider standard-model work
+        """ctype ordered|unordered|irreversible: chars — sets character
+        ordering for standard data (reference DoCtype,
+        src/command.c:3009).  Ordered characters use the adjacent-state Mk
+        Q (src/likelihood.c:9257)."""
         kind = args[0].lower().rstrip(":")
         rest = [t for t in args[1:] if t != ":"]
         nchar = self.env.nexus.matrix.nchar
         cols = self._expand_sets(rest, nchar)
-        self.env.charsets.setdefault("_ctype", {})
-        if isinstance(self.env.charsets.get("_ctype"), dict):
-            self.env.charsets["_ctype"][kind] = cols
+        if kind == "unordered":
+            for c in cols:
+                self.env.ctypes.pop(c, None)
+        else:
+            if kind == "irreversible":
+                self.log("   [ctype irreversible: treated as unordered "
+                         "(irreversible Mk lands in a later round)]")
+                return
+            for c in cols:
+                self.env.ctypes[c] = kind
+        self.log(f"   Set ctype {kind} for {len(cols)} characters")
+
+    def do_speciespartition(self, args, base_dir):
+        """speciespartition <name> = <species>: <taxa>, ... — assign taxa
+        to species for BEST/MSC analyses (reference DoSpeciespartition,
+        src/command.c; used with prset topologypr=speciestree)."""
+        name = args[0]
+        rest = args[1:]
+        if rest and rest[0] == "=":
+            rest = rest[1:]
+        groups: list[tuple[str, list[str]]] = []
+        cur_name, cur_toks = None, []
+        i = 0
+        while i < len(rest):
+            t = rest[i]
+            if i + 1 < len(rest) and rest[i + 1] == ":":
+                if cur_name is not None:
+                    groups.append((cur_name, cur_toks))
+                cur_name, cur_toks = t, []
+                i += 2
+                continue
+            if t == ",":
+                i += 1
+                continue
+            cur_toks.append(t)
+            i += 1
+        if cur_name is not None:
+            groups.append((cur_name, cur_toks))
+        if not groups:
+            raise CommandError("expected 'speciespartition name = "
+                               "Species: taxa, ...'")
+        self.env.speciespartitions[name] = groups
+        self.log(f"   Defined speciespartition \"{name}\" with "
+                 f"{len(groups)} species")
+
+    def do_report(self, args, base_dir):
+        """report <setting>=<value> ... — posterior reporting options
+        (reference DoReport, src/command.c).  Stored; possel/siteomega
+        site-level reports are not yet emitted."""
+        for key, val in self._kv_pairs(args):
+            self.env.report[key] = "".join(val).lower()
+        self.log(f"   Set report options: "
+                 + " ".join(f"{k}={v}" for k, v in self.env.report.items()))
 
     def _expand_taxa(self, toks) -> list[int]:
         """Taxon tokens → 0-based indices: names, numbers, ranges (3-114,
@@ -457,10 +544,15 @@ class Interpreter:
         taxa = self.env.nexus.taxa
         self.env.outgroup = (taxa.index(t) if t in taxa else int(t) - 1)
 
+    LSET_KEYS = ("applyto", "nst", "rates", "ngammacat", "nucmodel", "code",
+                 "covarion", "coding", "omegavar", "parsmodel", "nbetacat",
+                 "usegibbs", "gibbsfreq")
+
     def do_lset(self, args, base_dir):
         pairs = self._kv_pairs(args)
         targets = self._applyto(pairs)
         for key, val in pairs:
+            key = self._canon(key, self.LSET_KEYS)
             if key == "applyto" or not val:
                 continue
             v = "".join(val).lower()
@@ -484,10 +576,23 @@ class Interpreter:
                     s.omegavar = v
                 # parsmodel/omegavar etc: accepted, wired in later rounds
 
+    PRSET_KEYS = ("applyto", "statefreqpr", "revmatpr", "tratiopr",
+                  "shapepr", "pinvarpr", "ratecorrpr", "covswitchpr",
+                  "omegapr", "ny98omega1pr", "ny98omega3pr",
+                  "codoncatfreqpr", "m3omegapr", "ratepr", "aamodelpr",
+                  "brlenspr", "topologypr", "clockvarpr", "clockratepr",
+                  "treeagepr", "igrvarpr", "ilnvarpr", "tk02varpr",
+                  "wnvarpr", "cppratepr", "cppmultdevpr", "speciationpr",
+                  "extinctionpr", "popsizepr", "growthpr", "sampleprob",
+                  "samplestrat", "fossilizationpr", "nodeagepr",
+                  "popvarpr", "ploidy", "symdirihyperpr",
+                  "covtionpr", "browncorrpr", "brownscalepr")
+
     def do_prset(self, args, base_dir):
         pairs = self._kv_pairs(args)
         targets = self._applyto(pairs)
         for key, val in pairs:
+            key = self._canon(key, self.PRSET_KEYS)
             if key == "applyto" or not val:
                 continue
             prior = self._parse_prior(val)
@@ -534,7 +639,13 @@ class Interpreter:
                             str(p).lower() for p in prior.params]
                     else:
                         self.env.enforced_constraints = []
+                    if prior.kind == "speciestree":
+                        self.env.tree_settings.speciestree = True
                     self.env.tree_settings.topologypr = prior
+                elif key == "popvarpr":
+                    self.env.tree_settings.popvarpr = prior.kind
+                elif key == "ploidy":
+                    self.env.tree_settings.ploidy = prior.kind
                 elif key == "clockvarpr":
                     self.env.tree_settings.clockvarpr = prior.kind
                 elif key == "clockratepr":
@@ -594,9 +705,11 @@ class Interpreter:
             if kind in ("uniform", "birthdeath", "coalescence",
                         "fossilization"):
                 self.env.tree_settings.clockpr = kind
-            elif kind == "speciestreecoalescence":
-                raise CommandError(
-                    f"clock prior {kind!r} lands in a later milestone")
+            elif kind in ("speciestree", "speciestreecoalescence"):
+                # BEST: gene trees under the multispecies coalescent
+                # inside a species tree (reference src/best.c)
+                self.env.tree_settings.speciestree = True
+                self.env.tree_settings.clockpr = "uniform"
             else:
                 raise CommandError(f"unknown clock prior {kind!r}")
 
@@ -641,13 +754,16 @@ class Interpreter:
         if env.current_partition:
             subsets = env.partitions[env.current_partition]
             divisions = make_divisions(matrix, subsets,
-                                       excluded=env.excluded)
+                                       excluded=env.excluded,
+                                       ctype=env.ctypes)
         else:
-            divisions = make_divisions(matrix, excluded=env.excluded)
+            divisions = make_divisions(matrix, excluded=env.excluded,
+                                       ctype=env.ctypes)
         ds = DataSet(taxa=taxa, nchar=matrix.nchar,
                      divisions=divisions, charsets=env.charsets,
                      taxsets=env.taxsets)
         self._wire_dating(taxa, keep)
+        self._wire_species_partition(keep)
         div_settings = [replace(env.div_settings[d.user_index])
                         for d in divisions]
         for s in div_settings:
@@ -682,6 +798,29 @@ class Interpreter:
         return Engine(ds, div_settings, env.tree_settings, env.mcmc,
                       links=links, move_overrides=env.move_overrides,
                       start_tree=start_tree)
+
+    def _wire_species_partition(self, keep: "np.ndarray"):
+        """Resolve the active speciespartition into TreeSettings
+        (reference: speciespartition + topologypr=speciestree enable the
+        BEST machinery, src/best.c:1715)."""
+        env = self.env
+        ts = env.tree_settings
+        if not ts.speciestree:
+            return
+        if not env.current_speciespartition:
+            raise CommandError(
+                "topologypr=speciestree requires 'speciespartition <name> "
+                "= ...' and 'set speciespartition=<name>'")
+        groups = env.speciespartitions[env.current_speciespartition]
+        # original index -> post-delete index
+        remap = np.cumsum(keep) - 1
+        parts = []
+        for spname, toks in groups:
+            ids = self._expand_taxa(toks)
+            kept = [int(remap[i]) for i in ids if keep[i]]
+            if kept:
+                parts.append((spname, kept))
+        ts.species_partition = parts
 
     def _wire_dating(self, taxa: list[str], keep: "np.ndarray"):
         """Resolve calibrate/constraint declarations against the current
@@ -718,11 +857,21 @@ class Interpreter:
             cons.append((name, mask, calibs.get(name)))
         ts.constraints = cons
 
+    MCMC_KEYS = ("ngen", "nruns", "nchains", "temp", "samplefreq",
+                 "printfreq", "diagnfreq", "swapfreq", "nswaps",
+                 "burninfrac", "relburnin", "stoprule", "stopval",
+                 "filename", "checkfreq", "append", "seed", "swapseed",
+                 "minpartfreq", "tune", "tunefreq", "nsteps", "alpha",
+                 "burninss", "reheat", "diagnstat", "mcmcdiagn",
+                 "printall", "printmax", "savebrlens", "checkpoint",
+                 "autotune", "ordertaxa", "data")
+
     def _set_mcmc_params(self, args):
         mc = self.env.mcmc
         for key, val in self._kv_pairs(args):
             if not val:
                 continue
+            key = self._canon(key, self.MCMC_KEYS)
             v = "".join(val)
             vl = v.lower()
             if key in ("ngen", "n"):
@@ -765,6 +914,8 @@ class Interpreter:
                 mc.minpartfreq = float(v)
             elif key == "tune":
                 mc.tune = vl.startswith("y")
+            elif key == "tunefreq":
+                mc.tunefreq = int(v)
 
     def do_mcmcp(self, args, base_dir):
         self._set_mcmc_params(args)
@@ -772,6 +923,10 @@ class Interpreter:
     def do_mcmc(self, args, base_dir):
         from .mcmc.run import McmcRunner
         self._set_mcmc_params(args)
+        cap = os.environ.get("MB_MAX_NGEN")   # test-harness generation cap
+        if cap and self.env.mcmc.ngen > int(cap):
+            self.log(f"   [MB_MAX_NGEN: ngen capped at {cap}]")
+            self.env.mcmc.ngen = int(cap)
         eng = self.build_engine()
         runner = McmcRunner(eng, log=self.log)
         runner.run()

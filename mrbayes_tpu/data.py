@@ -25,6 +25,7 @@ def parse_char_range(spec_tokens: list[str], nchar: int) -> list[int]:
     merged: list[str] = []
     for tok in spec_tokens:
         if merged and (tok == "-" or merged[-1].endswith("-")
+                       or merged[-1].endswith("\\")
                        or tok.startswith("\\")):
             merged[-1] += tok
         else:
@@ -56,6 +57,8 @@ class Division:
     # standard data: per-pattern number of observed states (for k-state split)
     name: str = ""
     user_index: int = 0          # index of the user-visible partition subset
+    ctype: str = "unordered"     # standard data: unordered|ordered|irreversible
+                                 # (reference ctype command, src/command.c:3009)
 
     @property
     def ntax(self) -> int:
@@ -88,15 +91,20 @@ _NSTATES = {DataType.DNA: 4, DataType.RNA: 4, DataType.PROTEIN: 20,
 def make_divisions(matrix: CharacterMatrix,
                    partition: list[list[int]] | None = None,
                    names: list[str] | None = None,
-                   excluded: set[int] | None = None) -> list[Division]:
+                   excluded: set[int] | None = None,
+                   ctype: dict[int, str] | None = None) -> list[Division]:
     """Build divisions from a partition (list of 0-based column lists).
     Without a partition, divisions follow datatype runs (one per datatype).
     Standard-data subsets are further split by observed state count so each
     division has a uniform state space (reference handles per-char state
     counts inside one division, src/model.c ProcessStdChars:16435 — we
-    bucket instead to keep tensor shapes uniform)."""
+    bucket instead to keep tensor shapes uniform).  ``ctype`` maps 0-based
+    columns to "ordered"/"irreversible"; ordered standard characters bucket
+    separately and get the ordered Mk Q (reference ctype,
+    src/command.c:3009 + SetStdQMatrix src/likelihood.c:9257)."""
     nchar = matrix.nchar
     excluded = excluded or set()
+    ctype = ctype or {}
     if partition is None:
         groups: dict[DataType, list[int]] = {}
         for c in range(nchar):
@@ -115,7 +123,8 @@ def make_divisions(matrix: CharacterMatrix,
         sub = matrix.codes[:, cols]
         if dt is DataType.STANDARD:
             divisions.extend(_standard_subdivisions(sub, np.array(cols),
-                                                    gi, names, matrix))
+                                                    gi, names, matrix,
+                                                    ctype))
             continue
         pats, w, inv = compress_columns(sub)
         divisions.append(Division(
@@ -131,10 +140,14 @@ def make_divisions(matrix: CharacterMatrix,
 
 def _standard_subdivisions(sub: np.ndarray, cols: np.ndarray, gi: int,
                            names: list[str] | None,
-                           matrix: CharacterMatrix) -> list[Division]:
-    """Bucket standard (morphology) characters by state-space size.
+                           matrix: CharacterMatrix,
+                           ctype: dict[int, str] | None = None
+                           ) -> list[Division]:
+    """Bucket standard (morphology) characters by (state-space size, ctype).
     A character's state space is 0..max observed symbol (reference counts
-    observed states, src/model.c:16435)."""
+    observed states, src/model.c:16435).  Ordered characters with 2 states
+    degrade to unordered (reference src/model.c:16525)."""
+    ctype = ctype or {}
     full_mask = (1 << len(matrix.fmt.symbols)) - 1
     ncols = sub.shape[1]
     nstates_per_char = np.zeros(ncols, dtype=np.int64)
@@ -145,18 +158,27 @@ def _standard_subdivisions(sub: np.ndarray, cols: np.ndarray, gi: int,
             if v != full_mask:  # ignore missing
                 observed |= v
         nstates_per_char[j] = max(2, observed.bit_length())
+    ct_per_char = np.array([ctype.get(int(c), "unordered") for c in cols])
+    ct_per_char[(nstates_per_char == 2) & (ct_per_char == "ordered")] = \
+        "unordered"
     out = []
     for k in sorted(set(nstates_per_char.tolist())):
-        pick = np.where(nstates_per_char == k)[0]
-        pats, w, inv = compress_columns(sub[:, pick])
-        # clip missing masks to k states
-        pats = pats & np.uint32((1 << k) - 1)
-        out.append(Division(
-            index=0, dtype=DataType.STANDARD, n_states=k,
-            patterns=pats, weights=w, char_ids=cols[pick],
-            pattern_of_char=inv,
-            name=(names[gi] if names and gi < len(names) else str(gi + 1))
-                 + f".k{k}", user_index=gi))
+        for ct in sorted(set(ct_per_char.tolist())):
+            pick = np.where((nstates_per_char == k)
+                            & (ct_per_char == ct))[0]
+            if pick.size == 0:
+                continue
+            pats, w, inv = compress_columns(sub[:, pick])
+            # clip missing masks to k states
+            pats = pats & np.uint32((1 << k) - 1)
+            tag = "" if ct == "unordered" else f".{ct[:3]}"
+            out.append(Division(
+                index=0, dtype=DataType.STANDARD, n_states=k,
+                patterns=pats, weights=w, char_ids=cols[pick],
+                pattern_of_char=inv,
+                name=(names[gi] if names and gi < len(names)
+                      else str(gi + 1)) + f".k{k}{tag}",
+                user_index=gi, ctype=ct))
     return out
 
 

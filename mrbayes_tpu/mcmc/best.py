@@ -52,7 +52,13 @@ def msc_gene_log_prior(g_parent, g_age, tip_species, s_parent, s_age,
                        theta, n_tips: int, n_species: int) -> jnp.ndarray:
     """Log density of one gene tree under the MSC given the species tree
     (reference LnPriorProbGeneTree, src/best.c:826). ``theta`` is
-    [2S-1] per-population (ploidy factor already applied)."""
+    [2S-1] per-population (ploidy factor already applied).
+
+    Scaling note: the pairwise overlap tensor below is [V, V, M] per gene
+    (V = gene-tree nodes, M = species-tree nodes) and is vmapped over
+    runs x chains, so memory/compute grow as O(chains * genes * V^2 * M).
+    Fine through tens of taxa; for very large taxon counts a segmented
+    per-population accumulation would be needed instead."""
     V = 2 * n_tips - 1
     M = 2 * n_species - 1
     g_root = V - 1

@@ -67,6 +67,7 @@ class DivCfg:
     codon: object = None          # CodonCode when nucmodel=codon
     omega_group: int = -1         # omegavar=equal (M0)
     ny98_group: int = -1          # omegavar=ny98
+    m3_group: int = -1            # omegavar=m3 (three ordered omegas)
     aamodel_group: int = -1       # aamodelpr=mixed (rjMCMC over aa models)
     covswitch_group: int = -1     # covarion=yes, sampled switch rates
     fixed_covswitch: np.ndarray | None = None  # covswitchpr=fixed(s01,s10)
@@ -283,6 +284,8 @@ class Engine:
                                            1.0 / cfg.codon.n_states)
                 if s.omegavar == "ny98":
                     cfg.ny98_group = group_of("ny98", d, "ny98")
+                elif s.omegavar == "m3":
+                    cfg.m3_group = group_of("m3", d, "m3")
                 else:
                     cfg.omega_group = group_of("omega", d, repr(s.omegapr))
                 if s.nst == "2":
@@ -406,6 +409,11 @@ class Engine:
                 self.group_priors.setdefault(("omega3", cfg.ny98_group),
                                              s.ny98omega3pr)
                 self.group_priors.setdefault(("omegaprobs", cfg.ny98_group),
+                                             s.codoncatfreqpr)
+            if cfg.m3_group >= 0:
+                self.group_priors.setdefault(("m3omega", cfg.m3_group),
+                                             Prior("m3orderstat", ()))
+                self.group_priors.setdefault(("m3probs", cfg.m3_group),
                                              s.codoncatfreqpr)
 
     def _aa_stacks(self):
@@ -560,7 +568,7 @@ class Engine:
         for i, cfg in enumerate(self.div_cfg):
             s = cfg.settings
             if cfg.codon is not None:
-                k = 3 if cfg.ny98_group >= 0 else 1
+                k = 3 if (cfg.ny98_group >= 0 or cfg.m3_group >= 0) else 1
                 coding = "all"
             elif cfg.covswitch_group >= 0 or cfg.fixed_covswitch is not None:
                 k = cfg.n_cats if cfg.shape_group >= 0 else 1
@@ -833,6 +841,35 @@ class Engine:
                 "omegaprobs_dir",
                 partial(M.make_simplex_move("omegaprobs"), n_tips=n),
                 1.5, 100.0, 0.25, -1, 1.0, 1e5))
+        if self.n_groups.get("m3"):
+            n_m3 = self.n_groups["m3"]
+
+            def mv_m3omega(key, state, tuning, n_tips=n):
+                """Reflected window slide of one of the three ordered
+                omegas within its neighbor bounds (reference Move_OmegaM3,
+                src/proposal.c:9446)."""
+                k1, k2, k3 = jax.random.split(key, 3)
+                gi = jax.random.randint(k1, (), 0, n_m3)
+                which = jax.random.randint(k2, (), 0, 3)
+                w = state["m3omega"][gi]
+                lo = jnp.where(which == 0, 0.0, w[jnp.maximum(which - 1, 0)])
+                hi = jnp.where(which == 2, jnp.float32(1e3),
+                               w[jnp.minimum(which + 1, 2)])
+                win = jnp.minimum(tuning, hi - lo)
+                new = w[which] + win * (jax.random.uniform(k3) - 0.5)
+                # reflect into (lo, hi)
+                span = jnp.maximum(hi - lo, 1e-30)
+                t = jnp.mod(new - lo, 2 * span)
+                new = lo + jnp.where(t > span, 2 * span - t, t)
+                arr = state["m3omega"].at[gi, which].set(new)
+                return {**state, "m3omega": arr}, jnp.float32(0.0)
+
+            mk.append(MoveSpec("m3omega_slider", mv_m3omega,
+                               2.0, 0.5, 0.25, 1, 1e-3, 50.0))
+            mk.append(MoveSpec(
+                "m3probs_dir",
+                partial(M.make_simplex_move("m3probs"), n_tips=n),
+                1.5, 100.0, 0.25, -1, 1.0, 1e5))
         if self.n_groups.get("aamodel"):
             n_models = 11
 
@@ -913,8 +950,8 @@ class Engine:
                 1.5, 300.0, 0.25, -1, 1.0, 1e5))
         q_moves = {"pi_dir", "pi20_dir", "pi2_dir", "pi61_dir", "pi16_dir",
                    "omega_mult", "omega1_slider", "omega3_mult",
-                   "aamodel_jump", "revmat_dir", "revmat_splitmerge",
-                   "revmat_dirmix", "tratio_mult"}
+                   "m3omega_slider", "aamodel_jump", "revmat_dir",
+                   "revmat_splitmerge", "revmat_dirmix", "tratio_mult"}
         for m in mk:
             m.updates_q = m.name in q_moves
         self.moves = mk
@@ -951,6 +988,8 @@ class Engine:
                 n0 = float(np.exp(ts.popsizepr.params[0]))
             elif ts.popsizepr.kind == "uniform":
                 n0 = 0.5 * (ts.popsizepr.params[0] + ts.popsizepr.params[1])
+            elif ts.popsizepr.kind == "exponential":
+                n0 = 1.0 / ts.popsizepr.params[0]   # prior mean, not rate
             else:
                 n0 = ts.popsizepr.params[0] if ts.popsizepr.params else 1.0
             st["popsize"] = jnp.full((m,), n0, jnp.float32)
@@ -1027,6 +1066,11 @@ class Engine:
             st["omega1"] = jnp.full((g,), 0.1)
             st["omega3"] = jnp.full((g,), 2.0)
             st["omegaprobs"] = jnp.full((g, 3), 1.0 / 3)
+        if self.n_groups.get("m3"):
+            g = self.n_groups["m3"]
+            st["m3omega"] = jnp.tile(
+                jnp.asarray([0.1, 1.0, 3.0], jnp.float32), (g, 1))
+            st["m3probs"] = jnp.full((g, 3), 1.0 / 3)
         if self.n_groups.get("aamodel"):
             st["aamodel_idx"] = jnp.zeros((self.n_groups["aamodel"],),
                                           jnp.int32)
@@ -1105,6 +1149,8 @@ class Engine:
                 g = cfg.ny98_group
                 omegas = jnp.stack([state["omega1"][g], jnp.float32(1.0),
                                     state["omega3"][g]])
+            elif cfg.m3_group >= 0:
+                omegas = state["m3omega"][cfg.m3_group]
             else:
                 omegas = state["omega"][cfg.omega_group][None]
             Q = codon_q(omegas, kappa, pi, jnp.asarray(single),
@@ -1142,7 +1188,11 @@ class Engine:
         elif cfg.div.dtype is DataType.RESTRICTION:
             Q = reversible_q(jnp.ones((1,)), pi)
         elif cfg.div.dtype is DataType.STANDARD:
-            Q = mk_q(nstates)
+            if cfg.div.ctype == "ordered":
+                from ..models.substitution import ordered_mk_q
+                Q = ordered_mk_q(nstates)
+            else:
+                Q = mk_q(nstates)
             pi = jnp.full((nstates,), 1.0 / nstates)
         else:
             raise NotImplementedError(
@@ -1327,6 +1377,9 @@ class Engine:
         if cfg.ny98_group >= 0:
             weights = state["omegaprobs"][cfg.ny98_group]
             n_cats = 3
+        elif cfg.m3_group >= 0:
+            weights = state["m3probs"][cfg.m3_group]
+            n_cats = 3
         else:
             weights = None
             n_cats = 1
@@ -1385,9 +1438,17 @@ class Engine:
                 x = state[param][gid]
                 alpha = jnp.full(x.shape, pr.params[0] if pr.params else 1.0)
                 lp = lp + dirichlet_lpdf(x, alpha)
-            elif param == "omegaprobs":
-                lp = lp + dirichlet_lpdf(state["omegaprobs"][gid],
+            elif param in ("omegaprobs", "m3probs"):
+                lp = lp + dirichlet_lpdf(state[param][gid],
                                          jnp.asarray(pr.params))
+            elif param == "m3omega":
+                # order statistics of iid exponential dN over shared dS
+                # (reference LogOmegaPrior, src/mcmc.c:7498)
+                w = state["m3omega"][gid]
+                ordered_ok = (w[0] < w[1]) & (w[1] < w[2]) & (w[0] > 0)
+                lp = lp + jnp.where(
+                    ordered_ok,
+                    jnp.log(36.0) - 4.0 * jnp.log1p(jnp.sum(w)), NEG_INF)
             elif param in ("tratio", "omega"):
                 # Beta/Dirichlet(2) prior on x/(x+1) with Jacobian
                 # 1/(1+x)^2 (reference tRatioDir / omegaDir)

@@ -53,7 +53,7 @@ def param_columns(eng: Engine):
                          lambda st, s: float(st["speciation"][s, 0])))
             cols.append(("relative_extinction",
                          lambda st, s: float(st["extinction"][s, 0])))
-    if ts.clock:
+    if ts.clock and not getattr(eng, "best", False):
         root = eng.n_nodes - 1
         cols.append(("TH" + ("{all}" if multi else ""),
                      lambda st, s: float(st["age"][s, root])
@@ -100,6 +100,12 @@ def param_columns(eng: Engine):
         for k, nm in enumerate(("-", "N", "+")):
             cols.append((f"pi({nm})", lambda st, s, g=gid, k=k:
                          float(st["omegaprobs"][s, g, k])))
+    for gid in range(eng.n_groups.get("m3", 0)):
+        for k in range(3):
+            cols.append((f"omega({k + 1})", lambda st, s, g=gid, k=k:
+                         float(st["m3omega"][s, g, k])))
+            cols.append((f"pi({k + 1})", lambda st, s, g=gid, k=k:
+                         float(st["m3probs"][s, g, k])))
     for gid in range(eng.n_groups.get("pi", 0)):
         for k, nm in enumerate("ACGT"):
             cols.append((f"pi({nm})" + suffix("pi", gid),
@@ -188,7 +194,16 @@ class McmcRunner:
     def _open_files_raw(self, append: bool):
         mode = "a" if append else "w"
         self.pf, self.tf = [], []
+        self.gf: list[list] = []       # BEST: per-run gene-tree files
         seed_id = self.mc.seed
+
+        def tree_header(f, labels):
+            f.write(f"#NEXUS\n[ID: {seed_id:010d}]\n[Param: tree]\n"
+                    "begin trees;\n   translate\n")
+            for i, name in enumerate(labels):
+                sep = "," if i < len(labels) - 1 else ";"
+                f.write(f"       {i + 1} {name}{sep}\n")
+
         for r in range(self.mc.nruns):
             base = f"{self.prefix}.run{r + 1}" if self.mc.nruns > 1 \
                 else f"{self.prefix}.run1"
@@ -198,14 +213,19 @@ class McmcRunner:
                 pf.write(f"[ID: {seed_id:010d}]\n")
                 pf.write("Gen\tlnLike\tlnPrior\t"
                          + "\t".join(n for n, _ in self.cols) + "\n")
-                tf.write(f"#NEXUS\n[ID: {seed_id:010d}]\n[Param: tree]\n"
-                         "begin trees;\n   translate\n")
-                labels = self.eng.tree_taxa_labels
-                for i, name in enumerate(labels):
-                    sep = "," if i < len(labels) - 1 else ";"
-                    tf.write(f"       {i + 1} {name}{sep}\n")
+                tree_header(tf, self.eng.tree_taxa_labels)
             self.pf.append(pf)
             self.tf.append(tf)
+            if getattr(self.eng, "best", False):
+                # sampled gene trees per partition (the reference samples
+                # each gene tree to its own .t file in BEST runs)
+                gfs = []
+                for g in range(self.eng.n_div):
+                    gtf = open(base + f".gene{g + 1}.t", mode)
+                    if not append:
+                        tree_header(gtf, list(self.eng.data.taxa))
+                    gfs.append(gtf)
+                self.gf.append(gfs)
         self.mcmcf = open(f"{self.prefix}.mcmc", mode)
         if not append:
             self.mcmcf.write(f"[ID: {seed_id:010d}]\n")
@@ -224,6 +244,11 @@ class McmcRunner:
             self.tf[r].write(
                 f"   tree gen.{gen} = [{rooted_tag}] "
                 + to_newick(t, numbers=True) + "\n")
+            if self.gf:
+                for g, gtf in enumerate(self.gf[r]):
+                    gt = self.eng.extract_gene_tree(states, slot, g)
+                    gtf.write(f"   tree gen.{gen} = [&R] "
+                              + to_newick(gt, numbers=True) + "\n")
             self.splits.add(r, t)
             self.param_samples[r].append(
                 dict(zip(["Gen", "lnLike", "lnPrior"]
@@ -327,7 +352,7 @@ class McmcRunner:
             if mc.checkfreq and gen % mc.checkfreq == 0:
                 self.write_checkpoint(states, bk, gen)
         self.write_checkpoint(states, bk, gen)
-        for f in self.pf + self.tf:
+        for f in self.pf + self.tf + [g for gs in self.gf for g in gs]:
             f.write("end;\n" if f.name.endswith(".t") else "")
             f.close()
         self.mcmcf.close()

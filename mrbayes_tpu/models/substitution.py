@@ -76,6 +76,21 @@ def mk_q(n_states: int, pi: jnp.ndarray | None = None,
     return reversible_q(ones, pi)
 
 
+def ordered_mk_q(n_states: int, pi: jnp.ndarray | None = None,
+                 dtype=jnp.float32) -> jnp.ndarray:
+    """Ordered Mk model (``ctype ordered``): only adjacent states exchange,
+    q_ij = pi_j for |i-j| = 1, rescaled to mean rate 1 (reference
+    SetStdQMatrix ordered branch, src/likelihood.c:9257-9272)."""
+    if pi is None:
+        pi = jnp.full((n_states,), 1.0 / n_states, dtype)
+    i = jnp.arange(n_states)
+    adj = (jnp.abs(i[:, None] - i[None, :]) == 1).astype(dtype)
+    q = adj * pi[None, :]
+    q = q - jnp.diag(jnp.sum(q, axis=-1))
+    scale = -jnp.sum(pi * jnp.diagonal(q))
+    return q / scale
+
+
 def protein_q(exchange: jnp.ndarray, pi: jnp.ndarray) -> jnp.ndarray:
     """Protein model from a 190-vector of exchangeabilities (empirical model
     or sampled aa-GTR) and 20 frequencies."""
