@@ -32,28 +32,58 @@ def splits_of_tree(t: Tree) -> set[frozenset[int]]:
 
 class SplitCounter:
     """Running split-frequency table per run (reference: the shared
-    partition-counter trie, AddTreeToPartitionCounters src/mcmc.c:555)."""
+    partition-counter trie, AddTreeToPartitionCounters src/mcmc.c:555).
 
-    def __init__(self, n_runs: int):
+    Per-sample split sets are also recorded so the live ASDSF can apply
+    relative burn-in over the retained window, matching the reference's
+    windowed convergence diagnostic (CalcPartFreqStats src/mcmc.c:1750
+    discards the burn-in fraction before comparing runs)."""
+
+    def __init__(self, n_runs: int, record: bool = True):
         self.n_runs = n_runs
         self.counts: dict[frozenset, np.ndarray] = {}
         self.n_trees = np.zeros(n_runs, dtype=np.int64)
+        self.samples: list[list[set]] | None = \
+            [[] for _ in range(n_runs)] if record else None
 
     def add(self, run: int, tree: Tree) -> None:
         self.n_trees[run] += 1
-        for s in splits_of_tree(tree):
+        splits = splits_of_tree(tree)
+        if self.samples is not None:
+            self.samples[run].append(splits)
+        for s in splits:
             if s not in self.counts:
                 self.counts[s] = np.zeros(self.n_runs, dtype=np.int64)
             self.counts[s][run] += 1
 
-    def asdsf(self, min_freq: float = 0.10) -> float:
-        """Average (across qualifying splits) of the std-dev of
-        split frequency across runs."""
-        if np.any(self.n_trees == 0) or not self.counts:
+    def _burned_table(self, burn_frac: float):
+        """(counts dict, n_trees array) over the post-burn-in window."""
+        counts: dict[frozenset, np.ndarray] = {}
+        n_trees = np.zeros(self.n_runs, dtype=np.int64)
+        for r, samp in enumerate(self.samples):
+            burn = int(len(samp) * burn_frac)
+            kept = samp[burn:]
+            n_trees[r] = len(kept)
+            for splits in kept:
+                for s in splits:
+                    if s not in counts:
+                        counts[s] = np.zeros(self.n_runs, dtype=np.int64)
+                    counts[s][r] += 1
+        return counts, n_trees
+
+    def asdsf(self, min_freq: float = 0.10, burn_frac: float = 0.0) -> float:
+        """Average (across qualifying splits) of the std-dev of split
+        frequency across runs, after discarding ``burn_frac`` of each
+        run's samples."""
+        if burn_frac > 0.0 and self.samples is not None:
+            counts, n_trees = self._burned_table(burn_frac)
+        else:
+            counts, n_trees = self.counts, self.n_trees
+        if np.any(n_trees == 0) or not counts:
             return np.nan
         sds = []
-        for s, c in self.counts.items():
-            f = c / self.n_trees
+        for s, c in counts.items():
+            f = c / n_trees
             if np.max(f) >= min_freq:
                 sds.append(np.std(f, ddof=1))
         return float(np.mean(sds)) if sds else 0.0

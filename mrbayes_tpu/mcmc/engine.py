@@ -1624,29 +1624,32 @@ class Engine:
 
     def _swap_step(self, key, states, temp_id, swap_tries, swap_accepts,
                    power=1.0):
-        """One swap attempt per run between two random chains (reference
-        AttemptSwap, src/mcmc.c:591; acceptance math :718)."""
+        """``nswaps`` swap attempts per run between random chain pairs
+        (reference AttemptSwap, src/mcmc.c:591; acceptance math :718;
+        attempts per cycle set by mcmc nswaps, src/bayes.c)."""
         nc = self.mcmc.nchains
         lam = self.mcmc.temp
         lnL, lnP = power * states["lnL"], states["lnP"]
-        for r in range(self.mcmc.nruns):
-            key, k1, k1b, k2 = jax.random.split(key, 4)
-            i = jax.random.randint(k1, (), 0, nc)
-            j_off = jax.random.randint(k1b, (), 1, nc)
-            j = (i + j_off) % nc
-            a, b = r * nc + i, r * nc + j
-            beta_a = 1.0 / (1.0 + lam * temp_id[a])
-            beta_b = 1.0 / (1.0 + lam * temp_id[b])
-            ln_r = (beta_a - beta_b) * ((lnL[b] + lnP[b]) - (lnL[a] + lnP[a]))
-            acc = jnp.log(jax.random.uniform(k2)) < ln_r
-            ta, tb = temp_id[a], temp_id[b]
-            temp_id = temp_id.at[a].set(jnp.where(acc, tb, ta))
-            temp_id = temp_id.at[b].set(jnp.where(acc, ta, tb))
-            lo = jnp.minimum(ta, tb)
-            hi = jnp.maximum(ta, tb)
-            swap_tries = swap_tries.at[r, lo, hi].add(1)
-            swap_accepts = swap_accepts.at[r, lo, hi].add(
-                acc.astype(jnp.int32))
+        for _ in range(max(1, self.mcmc.nswaps)):
+            for r in range(self.mcmc.nruns):
+                key, k1, k1b, k2 = jax.random.split(key, 4)
+                i = jax.random.randint(k1, (), 0, nc)
+                j_off = jax.random.randint(k1b, (), 1, nc)
+                j = (i + j_off) % nc
+                a, b = r * nc + i, r * nc + j
+                beta_a = 1.0 / (1.0 + lam * temp_id[a])
+                beta_b = 1.0 / (1.0 + lam * temp_id[b])
+                ln_r = (beta_a - beta_b) * ((lnL[b] + lnP[b])
+                                            - (lnL[a] + lnP[a]))
+                acc = jnp.log(jax.random.uniform(k2)) < ln_r
+                ta, tb = temp_id[a], temp_id[b]
+                temp_id = temp_id.at[a].set(jnp.where(acc, tb, ta))
+                temp_id = temp_id.at[b].set(jnp.where(acc, ta, tb))
+                lo = jnp.minimum(ta, tb)
+                hi = jnp.maximum(ta, tb)
+                swap_tries = swap_tries.at[r, lo, hi].add(1)
+                swap_accepts = swap_accepts.at[r, lo, hi].add(
+                    acc.astype(jnp.int32))
         return temp_id, swap_tries, swap_accepts
 
     def _autotune(self, bk):
@@ -1695,9 +1698,15 @@ class Engine:
                   + onehot * accepted[:, None].astype(jnp.int32)}
             if self.mcmc.nchains > 1:
                 skey = jax.random.fold_in(bk["swap_key"], g)
-                temp_id, st, sa = self._swap_step(
-                    skey, states, bk["temp_id"], bk["swap_tries"],
-                    bk["swap_accepts"], power)
+
+                def swap(args):
+                    return self._swap_step(skey, states, *args, power)
+
+                bk_swap = (bk["temp_id"], bk["swap_tries"],
+                           bk["swap_accepts"])
+                temp_id, st, sa = jax.lax.cond(
+                    (g + 1) % self.mcmc.swapfreq == 0, swap,
+                    lambda args: args, bk_swap)
                 bk = {**bk, "temp_id": temp_id, "swap_tries": st,
                       "swap_accepts": sa}
             if self.mcmc.tune:

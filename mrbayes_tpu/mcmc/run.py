@@ -337,8 +337,6 @@ class McmcRunner:
                          + " ".join(f"[{lnls[c]:.3f}]" for c in cold)
                          + f" -- {rate:.0f} gen/s -- {eta:.0f} s remaining")
             if gen % mc.diagnfreq == 0 and mc.nruns > 1:
-                burn = int(self.splits.n_trees[0] * mc.burninfrac) \
-                    if mc.relburnin else 0
                 asdsf = self._burned_asdsf()
                 self.asdsf_series.append((gen, asdsf))
                 self.mcmcf.write(f"{gen}\t{asdsf:.6f}\n")
@@ -368,14 +366,12 @@ class McmcRunner:
         return states, bk
 
     def _burned_asdsf(self) -> float:
-        """ASDSF with relative burnin applied by rebuilding counters."""
+        """Live ASDSF with relative burn-in applied over the recorded
+        per-sample split sets (reference recomputes split frequencies over
+        the post-burn-in window, src/mcmc.c:1750)."""
         mc = self.mc
-        if not mc.relburnin:
-            return self.splits.asdsf(mc.minpartfreq)
-        # rebuild from stored samples is costly; approximate with full
-        # counts (burnin handled by the final sumt). Reference recomputes
-        # over the sliding window; adequate for a convergence signal.
-        return self.splits.asdsf(mc.minpartfreq)
+        burn = mc.burninfrac if mc.relburnin else 0.0
+        return self.splits.asdsf(mc.minpartfreq, burn_frac=burn)
 
     def _print_move_summary(self, bk):
         tries = np.asarray(bk["tries_total"]).sum(0)
@@ -385,3 +381,31 @@ class McmcRunner:
             if tries[i]:
                 self.log(f"      {accepts[i] / tries[i]:6.1%}  "
                          f"({int(tries[i]):9d} tries)  {mv.name}")
+        self._print_swap_info(bk)
+
+    def _print_swap_info(self, bk):
+        """Chain swap matrix per run: upper triangle = acceptance rate,
+        lower triangle = attempt count (reference PrintSwapInfo,
+        src/mcmc.c:13579)."""
+        if self.mc.nchains < 2:
+            return
+        st = np.asarray(bk["swap_tries"])
+        sa = np.asarray(bk["swap_accepts"])
+        nc = self.mc.nchains
+        for r in range(self.mc.nruns):
+            self.log(f"   Chain swap information for run {r + 1} "
+                     "(upper: acceptance rate, lower: attempts):")
+            self.log("            " + "".join(f"{c + 1:>9d}"
+                                              for c in range(nc)))
+            for i in range(nc):
+                cells = []
+                for j in range(nc):
+                    if j > i:
+                        t = st[r, i, j]
+                        cells.append(f"{sa[r, i, j] / t:9.2f}" if t
+                                     else f"{'--':>9s}")
+                    elif j < i:
+                        cells.append(f"{int(st[r, j, i]):9d}")
+                    else:
+                        cells.append(f"{'--':>9s}")
+                self.log(f"      {i + 1:>4d}  " + "".join(cells))

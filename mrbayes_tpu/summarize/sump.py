@@ -119,6 +119,14 @@ def sump(prefix: str, burninfrac: float = 0.25, log=print,
             f.write("run\tharmonic_mean\n")
             for i, hm in enumerate(results.get("_harmonic_mean", [])):
                 f.write(f"{i + 1}\t{hm:.6e}\n")
+        if model_indicators:
+            # model-indicator probabilities (reference writes .mstat from
+            # PrintModelStats, src/sumpt.c:2104)
+            with open(f"{prefix}.mstat", "w") as f:
+                f.write("Indicator\tModel\tProbability\n")
+                for name, models in model_indicators.items():
+                    for code, p in models:
+                        f.write(f"{name}\t{code}\t{p:.6f}\n")
     # average PSRF across parameters (reference prints this; the CI
     # envelope checks it, testing/runtests.sh.in:143-161)
     psrfs = [s["psrf"] for k, s in results.items()
