@@ -582,7 +582,8 @@ class Interpreter:
                   "codoncatfreqpr", "m3omegapr", "ratepr", "aamodelpr",
                   "brlenspr", "topologypr", "clockvarpr", "clockratepr",
                   "treeagepr", "igrvarpr", "ilnvarpr", "tk02varpr",
-                  "wnvarpr", "cppratepr", "cppmultdevpr", "speciationpr",
+                  "wnvarpr", "mixedvarpr", "cppratepr", "cppmultdevpr",
+                  "speciationpr",
                   "extinctionpr", "popsizepr", "growthpr", "sampleprob",
                   "samplestrat", "fossilizationpr", "nodeagepr",
                   "popvarpr", "ploidy", "symdirihyperpr",
@@ -656,7 +657,8 @@ class Interpreter:
                     self.env.tree_settings.clockratepr = prior
                 elif key == "treeagepr":
                     self.env.tree_settings.treeagepr = prior
-                elif key in ("igrvarpr", "ilnvarpr", "tk02varpr", "wnvarpr"):
+                elif key in ("igrvarpr", "ilnvarpr", "tk02varpr", "wnvarpr",
+                             "mixedvarpr", "cppratepr", "cppmultdevpr"):
                     if prior.kind == "exp":
                         prior = Prior("exponential", prior.params)
                     setattr(self.env.tree_settings, key, prior)

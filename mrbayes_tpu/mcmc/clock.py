@@ -43,10 +43,173 @@ def clock_blens(state: dict, n_tips: int, clockvar: str) -> jnp.ndarray:
                    + jnp.where(parent >= 0,
                                state["brate"][jnp.maximum(parent, 0)],
                                state["brate"][root]))
-    else:                       # igr / iln / wn
+    elif clockvar == "cpp":
+        r = cpp_branch_multipliers(parent, state["cpp_pos"],
+                                   state["cpp_mult"], state["cpp_n"])
+    else:                       # igr / iln / wn / mixed (IGR<->ILN jump)
         r = state["brate"]
     blen = dt * cr * r
     return blen.at[root].set(0.0)
+
+
+# ---------------------------------------------------------------------------
+# CPP (compound Poisson process) relaxed clock
+#
+# Rate-multiplier events on branches: fixed-capacity padded slots
+# (cpp_pos/cpp_mult [n_nodes, K], counts cpp_n [n_nodes]) replace the
+# reference's realloc'd per-branch arrays (src/bayes.h:711-714).  Effective
+# branch length follows UpdateCppEvolLength (src/model.c:25923): positions
+# measured from the recent (tipward) end; the rate at a point is the
+# incoming (rootward) rate times the multipliers of all events closer to
+# the tipward end; children inherit rate x prod(multipliers).
+
+
+def cpp_branch_multipliers(parent, cpp_pos, cpp_mult, cpp_n) -> jnp.ndarray:
+    """Per-branch effective rate multiplier r_v such that the effective
+    substitution length is ``dt * clockrate * r_v`` (the product of the
+    inherited path rate and the within-branch integral of the piecewise
+    rate; reference UpdateCppEvolLengths src/model.c:25996)."""
+    from ..ops.traversal import ancestor_matrix
+    K = cpp_pos.shape[-1]
+    n = cpp_pos.shape[0]
+    active = jnp.arange(K)[None, :] < cpp_n[:, None]
+    logm = jnp.where(active, jnp.log(jnp.maximum(cpp_mult, 1e-30)), 0.0)
+    s = jnp.sum(logm, axis=-1)                       # [n_nodes]
+    A = ancestor_matrix(parent)                       # A[u,v]: v anc-or-self
+    base = jnp.exp(A @ s - s)                         # strict ancestors only
+    # within-branch relative length: sort active positions ascending
+    # (inactive slots pad at pos=1, mult=1 and drop out of the recursion)
+    pos = jnp.where(active, cpp_pos, 1.0)
+    order = jnp.argsort(pos, axis=-1)
+    pos_s = jnp.take_along_axis(pos, order, axis=-1)
+    m_s = jnp.take_along_axis(jnp.where(active, cpp_mult, 1.0), order,
+                              axis=-1)
+    rel = pos_s[:, 0] * m_s[:, 0]
+    for i in range(1, K):
+        rel = (rel + pos_s[:, i] - pos_s[:, i - 1]) * m_s[:, i]
+    rel = rel + 1.0 - pos_s[:, K - 1]
+    return base * rel
+
+
+def ln_cpp_prior(state, n_tips: int, lam, sigma) -> jnp.ndarray:
+    """CPP event prior: per branch of strict length L, events are a
+    Poisson process of rate ``lam`` per expected substitution with
+    LogNormal(0, sigma) multipliers; positions integrate out against the
+    Poisson density, leaving exp(-lam L) lam^k prod f(m) (matches the
+    add/delete prior ratio of Move_AddDeleteCPPEvent,
+    src/proposal.c:286-293)."""
+    root = 2 * n_tips - 2
+    idx = jnp.arange(2 * n_tips - 1)
+    mask = idx != root
+    L = clock_blens(state, n_tips, "strict")
+    k_b = state["cpp_n"].astype(L.dtype)
+    lp = jnp.sum(jnp.where(mask, -lam * L + k_b * jnp.log(lam), 0.0))
+    K = state["cpp_pos"].shape[-1]
+    active = jnp.arange(K)[None, :] < state["cpp_n"][:, None]
+    m = jnp.maximum(state["cpp_mult"], 1e-30)
+    lnln = (-jnp.log(m) - jnp.log(sigma) - 0.5 * jnp.log(2.0 * jnp.pi)
+            - jnp.log(m) ** 2 / (2.0 * sigma ** 2))
+    lp = lp + jnp.sum(jnp.where(active & mask[:, None], lnln, 0.0))
+    return lp
+
+
+def make_cpp_adddelete(sigma: float):
+    """rjMCMC add/delete of one CPP event (reference
+    Move_AddDeleteCPPEvent, src/proposal.c:174).  The engine recomputes
+    the full prior, so only the proposal ratio is returned."""
+    def move(key, state, tuning, n_tips):
+        root = 2 * n_tips - 2
+        kv, kc, kj, km, kp = jax.random.split(key, 5)
+        idx = jnp.arange(2 * n_tips - 1)
+        mask = idx != root
+        v = _masked_choice(kv, mask)
+        npos, nmult, nn = state["cpp_pos"], state["cpp_mult"], state["cpp_n"]
+        K = npos.shape[-1]
+        k = nn[v]
+        forced_add = k == 0
+        add = forced_add | jax.random.bernoulli(kc)
+        # strict-substitution branch length (the CPP unit; reference uses
+        # p->length of the clock tree)
+        age = state["age"]
+        cr = state["clockrate"][0] if "clockrate" in state else 1.0
+        L_v = jnp.maximum((age[state["parent"][v]] - age[v]) * cr, 1e-30)
+        # --- add branch (slot k; rejected if at capacity)
+        m_new = jnp.exp(sigma * jax.random.normal(km))
+        p_new = jax.random.uniform(kp)
+        slot_a = jnp.minimum(k, K - 1)
+        pos_a = npos.at[v, slot_a].set(p_new)
+        mult_a = nmult.at[v, slot_a].set(m_new)
+
+        def ln_f(m):
+            return (-jnp.log(m) - jnp.log(sigma)
+                    - 0.5 * jnp.log(2.0 * jnp.pi)
+                    - jnp.log(m) ** 2 / (2.0 * sigma ** 2))
+
+        lnH_a = (jnp.log(L_v) - jnp.log(k.astype(jnp.float32) + 1.0)
+                 - ln_f(m_new))
+        lnH_a = lnH_a + jnp.where(k == 0, jnp.log(0.5), 0.0)
+        lnH_a = jnp.where(k >= K, NEG_INF, lnH_a)   # capacity guard
+        # --- delete branch (move last active slot into the hole)
+        kk = jnp.maximum(k, 1)
+        j = jax.random.randint(kj, (), 0, kk)
+        last = kk - 1
+        m_del = nmult[v, j]
+        pos_d = npos.at[v, j].set(npos[v, last])
+        mult_d = nmult.at[v, j].set(nmult[v, last])
+        lnH_d = (jnp.log(kk.astype(jnp.float32)) - jnp.log(L_v)
+                 + ln_f(jnp.maximum(m_del, 1e-30)))
+        lnH_d = lnH_d + jnp.where(k == 1, jnp.log(2.0), 0.0)
+        # --- select
+        pos2 = jnp.where(add, pos_a, pos_d)
+        mult2 = jnp.where(add, mult_a, mult_d)
+        n2 = nn.at[v].add(jnp.where(add, 1, -1).astype(nn.dtype))
+        n2 = jnp.clip(n2, 0, K)
+        lnH = jnp.where(add, lnH_a, lnH_d)
+        return ({**state, "cpp_pos": pos2, "cpp_mult": mult2,
+                 "cpp_n": n2}, lnH)
+    move.__name__ = "move_cpp_adddelete"
+    return move
+
+
+def move_cpp_position(key, state, tuning, n_tips):
+    """Resample one event's position uniformly on its branch (role of
+    reference Move_CPPEventPosition, src/proposal.c:932); symmetric."""
+    root = 2 * n_tips - 2
+    kv, kj, kp = jax.random.split(key, 3)
+    idx = jnp.arange(2 * n_tips - 1)
+    v = _masked_choice(kv, idx != root)
+    k = state["cpp_n"][v]
+    j = jax.random.randint(kj, (), 0, jnp.maximum(k, 1))
+    new = jax.random.uniform(kp)
+    pos2 = state["cpp_pos"].at[v, j].set(new)
+    return ({**state, "cpp_pos": pos2},
+            jnp.where(k > 0, 0.0, NEG_INF))
+
+
+def move_cpp_multiplier(key, state, tuning, n_tips):
+    """Multiplier move on one event's rate multiplier (reference
+    Move_CPPRateMultiplierMult, src/proposal.c:1159)."""
+    root = 2 * n_tips - 2
+    kv, kj, km = jax.random.split(key, 3)
+    idx = jnp.arange(2 * n_tips - 1)
+    v = _masked_choice(kv, idx != root)
+    k = state["cpp_n"][v]
+    j = jax.random.randint(kj, (), 0, jnp.maximum(k, 1))
+    f = jnp.exp(tuning * (jax.random.uniform(km) - 0.5))
+    new = state["cpp_mult"][v, j] * f
+    ok = (k > 0) & (new > 1e-4) & (new < 1e4)
+    mult2 = state["cpp_mult"].at[v, j].set(new)
+    return ({**state, "cpp_mult": mult2},
+            jnp.where(ok, jnp.log(f), NEG_INF))
+
+
+def move_rcl_jump(key, state, tuning, n_tips):
+    """IGR<->ILN model jump for clockvarpr=mixed (reference
+    Move_RelaxedClockModel, src/proposal.c:6189 with var ratio 1: matched
+    parameters, same dimension, Jacobian 1; the engine's full prior
+    recompute supplies the density ratio)."""
+    return ({**state, "rcl_model": 1 - state["rcl_model"]},
+            jnp.float32(0.0))
 
 
 # ---------------------------------------------------------------------------
@@ -397,7 +560,18 @@ def ln_branch_rates_prior(state, n_tips: int, clockvar: str,
     idx = jnp.arange(2 * n_tips - 1)
     mask = idx != root
     r = jnp.maximum(rates, 1e-30)
-    if clockvar == "igr":
+    if clockvar == "mixed":
+        # IGR<->ILN rjMCMC: indicator selects the density (reference
+        # LogPrior mixed branch, src/mcmc.c:8287-8321; RCL_IGR=0 RCL_ILN=1)
+        a = 1.0 / var
+        lp_igr = (a * jnp.log(a) - gammaln(a) + (a - 1.0) * jnp.log(r)
+                  - a * r)
+        s2 = jnp.log1p(var)
+        mu = -0.5 * s2
+        lp_iln = (-jnp.log(r) - 0.5 * jnp.log(2 * jnp.pi * s2)
+                  - (jnp.log(r) - mu) ** 2 / (2.0 * s2))
+        lp = jnp.where(state["rcl_model"][0] == 0, lp_igr, lp_iln)
+    elif clockvar == "igr":
         a = 1.0 / var
         lp = a * jnp.log(a) - gammaln(a) + (a - 1.0) * jnp.log(r) - a * r
     elif clockvar == "iln":

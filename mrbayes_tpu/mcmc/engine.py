@@ -125,6 +125,9 @@ class Engine:
         self.n_tips = dataset.ntax
         self.n_nodes = 2 * self.n_tips - 1
         self.start_tree = start_tree
+        self.cpp_cap = 8   # CPP relaxed clock: event slots per branch
+                           # (fixed-capacity stand-in for the reference's
+                           # variable-length event arrays, bayes.h:711-714)
         assert len(div_settings) == len(dataset.divisions)
         ts = self.tree_settings
         self.best = bool(ts.speciestree)
@@ -709,7 +712,27 @@ class Engine:
                     partial(M.make_multiplier_move("clockrate", 1e-10, 1e6),
                             n_tips=n), 3.0, 2.0 * np.log(1.5), 0.25, 1,
                     1e-4, 10.0))
-            if ts.clockvarpr != "strict":
+            if ts.clockvarpr == "cpp":
+                sigma = float((ts.cppmultdevpr.params or (0.4,))[0])
+                mk.append(MoveSpec("cpp_adddelete",
+                                   partial(C.make_cpp_adddelete(sigma),
+                                           n_tips=n),
+                                   6.0, 0.0, tunable=False))
+                mk.append(MoveSpec("cpp_position",
+                                   partial(C.move_cpp_position, n_tips=n),
+                                   2.0, 0.0, tunable=False))
+                mk.append(MoveSpec("cpp_multiplier",
+                                   partial(C.move_cpp_multiplier, n_tips=n),
+                                   4.0, 2.0 * np.log(1.5), 0.25, 1,
+                                   1e-3, 20.0))
+                if ts.cppratepr.kind != "fixed":
+                    mk.append(MoveSpec(
+                        "cpprate_mult",
+                        partial(M.make_multiplier_move("cpprate",
+                                                       1e-6, 1e4),
+                                n_tips=n), 2.0, 2.0 * np.log(1.6), 0.25, 1,
+                        1e-3, 20.0))
+            elif ts.clockvarpr != "strict":
                 mk.append(MoveSpec("brate_mult",
                                    partial(C.make_brate_multiplier(n)),
                                    10.0, 2.0 * np.log(1.6), 0.25, 1,
@@ -719,6 +742,10 @@ class Engine:
                     partial(M.make_multiplier_move("clockvar", 1e-6, 1e4),
                             n_tips=n), 2.0, 2.0 * np.log(1.6), 0.25, 1,
                     1e-3, 20.0))
+                if ts.clockvarpr == "mixed":
+                    mk.append(MoveSpec("rcl_jump",
+                                       partial(C.move_rcl_jump, n_tips=n),
+                                       2.0, 0.0, tunable=False))
             if ts.clockpr == "birthdeath":
                 mk.append(MoveSpec(
                     "speciation_mult",
@@ -1019,9 +1046,21 @@ class Engine:
                          "uniform": lambda p: 0.5 * (p[0] + p[1])}[
                              ts.clockratepr.kind](ts.clockratepr.params)
                 st["clockrate"] = jnp.asarray([start], jnp.float32)
-            if ts.clockvarpr != "strict":
+            if ts.clockvarpr == "cpp":
+                K = self.cpp_cap
+                st["cpp_n"] = jnp.zeros((self.n_nodes,), jnp.int32)
+                st["cpp_pos"] = jnp.full((self.n_nodes, K), 0.5,
+                                         jnp.float32)
+                st["cpp_mult"] = jnp.ones((self.n_nodes, K), jnp.float32)
+                lam0 = (1.0 / ts.cppratepr.params[0]
+                        if ts.cppratepr.kind == "exponential"
+                        else (ts.cppratepr.params or (1.0,))[0])
+                st["cpprate"] = jnp.asarray([lam0], jnp.float32)
+            elif ts.clockvarpr != "strict":
                 st["brate"] = jnp.ones((self.n_nodes,), jnp.float32)
                 st["clockvar"] = jnp.asarray([0.1], jnp.float32)
+                if ts.clockvarpr == "mixed":
+                    st["rcl_model"] = jnp.zeros((1,), jnp.int32)
             if ts.clockpr == "birthdeath":
                 st["speciation"] = jnp.asarray([0.1], jnp.float32)
                 st["extinction"] = jnp.asarray([0.5], jnp.float32)
@@ -1565,7 +1604,12 @@ class Engine:
             raise ValueError(f"clockpr {ts.clockpr} not supported yet")
         if "clockrate" in state:
             lp = lp + _scalar_prior_lpdf(ts.clockratepr, cr)
-        if ts.clockvarpr != "strict":
+        if ts.clockvarpr == "cpp":
+            sigma = float((ts.cppmultdevpr.params or (0.4,))[0])
+            lam = state["cpprate"][0]
+            lp = lp + C.ln_cpp_prior(state, n, lam, sigma)
+            lp = lp + _scalar_prior_lpdf(ts.cppratepr, lam)
+        elif ts.clockvarpr != "strict":
             var = state["clockvar"][0]
             lp = lp + C.ln_branch_rates_prior(state, n, ts.clockvarpr, var)
             lp = lp + _scalar_prior_lpdf(ts.clockvar_prior(), var)

@@ -62,10 +62,20 @@ def param_columns(eng: Engine):
         if ts.clockratepr.kind != "fixed":
             cols.append(("clockrate",
                          lambda st, s: float(st["clockrate"][s, 0])))
-        if ts.clockvarpr != "strict":
+        if ts.clockvarpr == "cpp":
+            cols.append(("cppRate",
+                         lambda st, s: float(st["cpprate"][s, 0])))
+            cols.append(("nEvents",
+                         lambda st, s: float(np.sum(
+                             np.asarray(st["cpp_n"][s])))))
+        elif ts.clockvarpr != "strict":
             cols.append((f"{ts.clockvarpr}var{{all}}" if multi
                          else f"{ts.clockvarpr}var",
                          lambda st, s: float(st["clockvar"][s, 0])))
+            if ts.clockvarpr == "mixed":
+                # 0 = IGR, 1 = ILN (reference RCL_* indicators)
+                cols.append(("rclModel",
+                             lambda st, s: float(st["rcl_model"][s, 0])))
         if ts.clockpr == "birthdeath":
             cols.append(("net_speciation",
                          lambda st, s: float(st["speciation"][s, 0])))

@@ -66,7 +66,15 @@ class TreeSettings:
                                                            (1.0, 1.0)))
     clockratepr: Prior = field(default_factory=lambda: Prior("fixed",
                                                              (1.0,)))
-    clockvarpr: str = "strict"        # strict|igr|iln|tk02|wn (cpp later)
+    clockvarpr: str = "strict"        # strict|igr|iln|tk02|wn|cpp|mixed
+    # CPP relaxed clock (reference defaults src/bayes.c:880-885)
+    cppratepr: Prior = field(default_factory=lambda: Prior("exponential",
+                                                           (0.1,)))
+    cppmultdevpr: Prior = field(default_factory=lambda: Prior("fixed",
+                                                              (0.4,)))
+    # mixed (IGR<->ILN rjMCMC) variance prior (src/bayes.c:905-909)
+    mixedvarpr: Prior = field(default_factory=lambda: Prior("exponential",
+                                                            (1.0,)))
     igrvarpr: Prior = field(default_factory=lambda: Prior("exponential",
                                                           (1.0,)))
     ilnvarpr: Prior = field(default_factory=lambda: Prior("exponential",
@@ -105,7 +113,8 @@ class TreeSettings:
 
     def clockvar_prior(self) -> Prior:
         return {"igr": self.igrvarpr, "iln": self.ilnvarpr,
-                "tk02": self.tk02varpr, "wn": self.wnvarpr}.get(
+                "tk02": self.tk02varpr, "wn": self.wnvarpr,
+                "mixed": self.mixedvarpr}.get(
                     self.clockvarpr, Prior("fixed", (1.0,)))
 
 

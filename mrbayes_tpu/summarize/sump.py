@@ -72,7 +72,7 @@ def sump(prefix: str, burninfrac: float = 0.25, log=print,
         if name in ("Gen",):
             continue
         per_run = [r[:, j] for r in runs]
-        if name.startswith(("gtrsubmodel", "aamodel")):
+        if name.startswith(("gtrsubmodel", "aamodel", "rclModel")):
             # model-indicator column: report posterior model probabilities
             # (reference PrintModelStats src/sumpt.c:2104)
             allv = np.concatenate(per_run).astype(np.int64)
