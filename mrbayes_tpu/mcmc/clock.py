@@ -289,6 +289,82 @@ def ln_coalescence(age, n_tips: int, theta, growth=0.0,
 
 
 # ---------------------------------------------------------------------------
+# sampled ancestors (ancestral fossils)
+#
+# A sampled ancestor is a fossil that lies ON a lineage: the reference
+# represents it as a fossil tip with branch length 0 (its parent is the
+# degree-2 sampling vertex; src/proposal.c:1266 Move_AddBranch diagram).
+# Here an explicit flag array state["sa"][n_tips] marks ancestral fossils
+# and ``pin_sa_ages`` forces the parent's age to the fossil age wherever
+# ages are consumed; the raw parent age becomes an inert auxiliary
+# coordinate (moves on it leave the posterior unchanged).
+
+
+def pin_sa_ages(state: dict, n_tips: int) -> dict:
+    """Return state with age[parent[v]] pinned to age[v] for every
+    ancestral-fossil tip v (scatter-min is duplicate-safe)."""
+    if "sa" not in state:
+        return state
+    age = state["age"]
+    par = state["parent"][:n_tips]
+    vals = jnp.where(state["sa"] > 0, age[:n_tips], jnp.inf)
+    return {**state, "age": age.at[par].min(vals)}
+
+
+def make_add_del_branch(fossil_mask, add: bool):
+    """rjMCMC between ancestral fossil (branch length 0) and fossil tip
+    (branch length > 0): reference Move_AddBranch src/proposal.c:1266 and
+    Move_DelBranch :1537.  Hastings: add = log k - log(m+1) + log(window);
+    delete = log m - log(k+1) - log(window); window = (grandparent age -
+    fossil age) in time units (the engine recomputes the prior)."""
+    fossil = jnp.asarray(fossil_mask)
+
+    def move(key, state, tuning, n_tips):
+        kv, ku = jax.random.split(key)
+        sa = state["sa"] > 0
+        age = state["age"]
+        parent = state["parent"]
+        k_anc = jnp.sum(sa & fossil)
+        m_tip = jnp.sum(fossil & ~sa)
+        if add:
+            pick_mask = sa & fossil
+        else:
+            pick_mask = fossil & ~sa
+        v = _masked_choice(kv, pick_mask)
+        q = parent[v]
+        g = parent[q]
+        left, right = state["left"], state["right"]
+        r = jnp.where(left[q] == v, right[q], left[q])
+        root = 2 * n_tips - 2
+        hi = jnp.where(q == root, jnp.float32(1e6),
+                       age[jnp.maximum(g, 0)])
+        lo = age[v]
+        win = jnp.maximum(hi - lo, 1e-30)
+        if add:
+            new_q = lo + jax.random.uniform(ku) * win
+            sa2 = state["sa"].at[v].set(0)
+            age2 = age.at[q].set(new_q)
+            ok = (k_anc > 0) & (hi > lo)
+            lnH = (jnp.log(jnp.maximum(k_anc, 1).astype(jnp.float32))
+                   - jnp.log(m_tip.astype(jnp.float32) + 1.0)
+                   + jnp.log(win))
+        else:
+            sa2 = state["sa"].at[v].set(1)
+            age2 = age.at[q].set(lo)
+            # sibling must be younger than the fossil (reference aborts,
+            # src/proposal.c:1638)
+            ok = (m_tip > 0) & (age[r] < lo) & (hi > lo) & (q != root)
+            lnH = (jnp.log(jnp.maximum(m_tip, 1).astype(jnp.float32))
+                   - jnp.log(k_anc.astype(jnp.float32) + 1.0)
+                   - jnp.log(win))
+        st = {**state, "sa": sa2, "age": age2}
+        return st, jnp.where(ok, lnH, NEG_INF)
+
+    move.__name__ = "move_add_branch" if add else "move_del_branch"
+    return move
+
+
+# ---------------------------------------------------------------------------
 # fossilized birth-death (FBD) priors
 #
 # Math follows the reference exactly (no rate shifts — single slice):
@@ -349,13 +425,18 @@ def fbd_rates(net_div, turnover, fossil_frac, strategy: str):
 
 def ln_fbd(age, n_tips: int, net_div, turnover, fossil_frac, rho,
            fossil_tip_mask, treeage_lpdf, strategy: str = "random",
-           root_dated: bool = False) -> jnp.ndarray:
-    """Fossilized birth-death tree prior, fossils as tips (no sampled
-    ancestors), no rate shifts.
+           root_dated: bool = False, sa=None, parent=None) -> jnp.ndarray:
+    """Fossilized birth-death tree prior, no rate shifts, with sampled
+    ancestors (ancestral fossils).
 
     fossil_tip_mask: static HOST bool[n_tips] (numpy), True where the tip
     is a dated fossil.  rho: extant sampling probability
     (samplestrat=random) or diversity fraction (samplestrat=diversity).
+    sa/parent: traced ancestral-fossil flags + parent array — an SA
+    fossil's parent is a degree-2 sampling vertex contributing psi
+    instead of lambda*q, the SA tip contributes nothing itself, and SA
+    fossils drop out of the oriented->labeled 2^(M+E-1) factor
+    (reference LnFossilizedBDPriorRandom, src/mcmc.c:9060-9130).
     """
     import numpy as np
     host_mask = np.asarray(fossil_tip_mask)
@@ -367,6 +448,15 @@ def ln_fbd(age, n_tips: int, net_div, turnover, fossil_frac, rho,
     n_extant = n_tips - m_fossil
     int_ages = age[n_tips:root]                     # internals except root
     tip_ages = age[:n_tips]
+    if sa is not None:
+        sa_t = (sa > 0) & fossil_tip_mask
+        sa_par = jnp.zeros(2 * n_tips - 1, jnp.int32).at[
+            parent[:n_tips]].max(sa_t.astype(jnp.int32)) > 0
+        n_sa = jnp.sum(sa_t).astype(age.dtype)
+    else:
+        sa_t = jnp.zeros(n_tips, bool)
+        sa_par = jnp.zeros(2 * n_tips - 1, bool)
+        n_sa = jnp.asarray(0.0, age.dtype)
 
     if strategy == "fossiltip":
         c1, c2 = _fbd_c1c2(lam, mu, psi, rho)
@@ -379,7 +469,8 @@ def ln_fbd(age, n_tips: int, net_div, turnover, fossil_frac, rho,
             -jnp.exp(_fbd_ln_p0(tmrca, lam, mu, psi, c1, c2)))
         if not root_dated:
             lp = lp + treeage_lpdf(tmrca)
-        return lp
+        # fossiltip sampling assumes every fossil terminates its lineage
+        return jnp.where(n_sa > 0, NEG_INF, lp)
 
     if strategy == "diversity":
         # Zhang et al. 2016: complete sampling below the cutoff x_cut
@@ -391,26 +482,29 @@ def ln_fbd(age, n_tips: int, net_div, turnover, fossil_frac, rho,
             jnp.min(jnp.where(fossil_tip_mask, tip_ages, jnp.inf)))
         return _ln_fbd_diversity(age, n_tips, lam, mu, psi, rho,
                                  fossil_tip_mask, treeage_lpdf, x_cut,
-                                 root_dated)
+                                 root_dated, sa_t, sa_par, n_sa)
 
     # strategy == "random"
     c1, c2 = _fbd_c1c2(lam, mu, psi, rho)
     p_t = jnp.exp(_fbd_ln_p0(tmrca, lam, mu, psi, c1, c2))
-    lp = jnp.sum(jnp.log(lam) + _fbd_ln_q(int_ages, c1, c2))
+    lp = jnp.sum(jnp.where(sa_par[n_tips:root], jnp.log(psi),
+                           jnp.log(lam) + _fbd_ln_q(int_ages, c1, c2)))
+    lp = lp + jnp.where(sa_par[root], jnp.log(psi), 0.0)
     lp = lp + jnp.sum(jnp.where(
-        fossil_tip_mask,
+        fossil_tip_mask & ~sa_t,
         _fbd_ln_p0(tip_ages, lam, mu, psi, c1, c2)
         - _fbd_ln_q(tip_ages, c1, c2) + jnp.log(psi), 0.0))
     lp = lp + n_extant * jnp.log(rho)
     lp = lp + 2.0 * (_fbd_ln_q(tmrca, c1, c2) - jnp.log1p(-p_t))
-    lp = lp + (n_tips - 1.0) * jnp.log(2.0)
+    lp = lp + (n_extant + (m_fossil - n_sa) - 1.0) * jnp.log(2.0)
     if not root_dated:
         lp = lp + treeage_lpdf(tmrca)
     return lp
 
 
 def _ln_fbd_diversity(age, n_tips, lam, mu, psi, rho, fossil_tip_mask,
-                      treeage_lpdf, x_cut, root_dated):
+                      treeage_lpdf, x_cut, root_dated,
+                      sa_t=None, sa_par=None, n_sa=0.0):
     """Two-slice FBD: slice boundary at x_cut with (psi->0, rho_cut=0,
     complete sampling rho=1 at present), then the diversified-sampling
     correction for the M_x unsampled extant taxa."""
@@ -447,14 +541,19 @@ def _ln_fbd_diversity(age, n_tips, lam, mu, psi, rho, fossil_tip_mask,
     import numpy as np
     host_mask = np.asarray(fossil_tip_mask)
     fossil_tip_mask = jnp.asarray(host_mask)
+    if sa_t is None:
+        sa_t = jnp.zeros(n_tips, bool)
+        sa_par = jnp.zeros(2 * n_tips - 1, bool)
     int_ages = age[n_tips:root]
     tip_ages = age[:n_tips]
     p_t = jnp.exp(ln_p0(tmrca))
-    lp = jnp.sum(jnp.log(lam) + ln_q(int_ages))
+    lp = jnp.sum(jnp.where(sa_par[n_tips:root], jnp.log(psi),
+                           jnp.log(lam) + ln_q(int_ages)))
+    lp = lp + jnp.where(sa_par[root], jnp.log(psi), 0.0)
     # fossil tips are all above x_cut by construction
     lp = lp + jnp.sum(jnp.where(
-        fossil_tip_mask, ln_p0(tip_ages) - ln_q(tip_ages) + jnp.log(psi),
-        0.0))
+        fossil_tip_mask & ~sa_t,
+        ln_p0(tip_ages) - ln_q(tip_ages) + jnp.log(psi), 0.0))
     # extant tips: rho_1 = 1 contributes 0; degree-2 vertices at the
     # boundary: every extant lineage crosses x_cut once: q_1 contribution
     # with rho_cut = 0 -> + ln q at boundary from below ... the reference
@@ -467,7 +566,7 @@ def _ln_fbd_diversity(age, n_tips, lam, mu, psi, rho, fossil_tip_mask,
         1.0 + c2_1 + (1.0 - c2_1) * jnp.exp(-c1_1 * x_cut))
         - c1_1 * x_cut)
     lp = lp + 2.0 * (ln_q(tmrca) - jnp.log1p(-p_t))
-    lp = lp + (n_tips - 1.0) * jnp.log(2.0)
+    lp = lp + (n_tips - n_sa - 1.0) * jnp.log(2.0)
     # diversified-sampling correction for unsampled extant taxa
     m_x = jnp.round(n_extant / rho) - n_extant
     d = lam - mu

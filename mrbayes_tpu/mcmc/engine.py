@@ -779,6 +779,17 @@ class Engine:
                     "fossilization_slider",
                     partial(M.make_slider_move("fossilization", 0.0, 1.0),
                             n_tips=n), 1.5, 0.2, 0.25, 1, 1e-3, 1.0))
+                if self.has_dated_tips and ts.samplestrat != "fossiltip":
+                    mk.append(MoveSpec(
+                        "add_branch",
+                        partial(C.make_add_del_branch(self.fossil_tips,
+                                                      True), n_tips=n),
+                        2.0, 0.0, tunable=False))
+                    mk.append(MoveSpec(
+                        "del_branch",
+                        partial(C.make_add_del_branch(self.fossil_tips,
+                                                      False), n_tips=n),
+                        2.0, 0.0, tunable=False))
             if self.sampled_tip_ages:
                 tips = np.array([t for t, _ in self.sampled_tip_ages])
                 los = np.array([
@@ -1070,6 +1081,9 @@ class Engine:
                 st["speciation"] = jnp.asarray([0.1], jnp.float32)
                 st["extinction"] = jnp.asarray([0.5], jnp.float32)
                 st["fossilization"] = jnp.asarray([0.1], jnp.float32)
+                if self.has_dated_tips and ts.samplestrat != "fossiltip":
+                    # ancestral-fossil flags; all fossils start as tips
+                    st["sa"] = jnp.zeros((self.n_tips,), jnp.int32)
         else:
             t = tree or self.start_tree \
                 or random_unrooted(self.n_tips, rng, mean_blen=0.1)
@@ -1279,7 +1293,8 @@ class Engine:
                 total = total + self._division_lnL(view, i, blen)
             return total
         if self.tree_settings.clock:
-            from .clock import clock_blens
+            from .clock import clock_blens, pin_sa_ages
+            state = pin_sa_ages(state, self.n_tips)
             blen = clock_blens(state, self.n_tips,
                                self.tree_settings.clockvarpr)
         else:
@@ -1562,6 +1577,7 @@ class Engine:
         from . import clock as C
         ts = self.tree_settings
         n = self.n_tips
+        state = C.pin_sa_ages(state, n)
 
         def treeage_lpdf(t1):
             if self._root_calib is not None:
@@ -1573,7 +1589,8 @@ class Engine:
             lp = C.ln_fbd(state["age"], n, state["speciation"][0],
                           state["extinction"][0], state["fossilization"][0],
                           ts.sampleprob, self.fossil_tips,
-                          treeage_lpdf, strategy=ts.samplestrat)
+                          treeage_lpdf, strategy=ts.samplestrat,
+                          sa=state.get("sa"), parent=state["parent"])
             lp = lp + _scalar_prior_lpdf(ts.speciationpr,
                                          state["speciation"][0])
             lp = lp + _scalar_prior_lpdf(ts.extinctionpr,
@@ -1800,8 +1817,9 @@ class Engine:
                             age[np.maximum(parent, 0)] - age, 0.0)
         if not self.tree_settings.clock:
             return np.asarray(states["blen"][slot], np.float64)
-        from .clock import clock_blens
+        from .clock import clock_blens, pin_sa_ages
         sub = jax.tree.map(lambda x: x[slot], states)
+        sub = pin_sa_ages(sub, self.n_tips)
         return np.asarray(
             clock_blens(sub, self.n_tips, self.tree_settings.clockvarpr),
             np.float64)

@@ -83,6 +83,18 @@ def param_columns(eng: Engine):
                          lambda st, s: float(st["extinction"][s, 0])))
         if ts.clockpr == "coalescence":
             cols.append(("theta", lambda st, s: float(st["popsize"][s, 0])))
+        if ts.clockpr == "fossilization":
+            cols.append(("net_speciation",
+                         lambda st, s: float(st["speciation"][s, 0])))
+            cols.append(("relative_extinction",
+                         lambda st, s: float(st["extinction"][s, 0])))
+            cols.append(("relative_fossilization",
+                         lambda st, s: float(st["fossilization"][s, 0])))
+            if getattr(eng, "has_dated_tips", False) \
+                    and ts.samplestrat != "fossiltip":
+                cols.append(("nSampledAncestors",
+                             lambda st, s: float(np.sum(
+                                 np.asarray(st["sa"][s])))))
     rev_names = ("A<->C", "A<->G", "A<->T", "C<->G", "C<->T", "G<->T")
     for gid in range(eng.n_groups.get("revmat", 0)):
         for k, nm in enumerate(rev_names):

@@ -53,9 +53,11 @@ def loglik(tree, tip_partials, weights, Q, pi, cat_rates, pinv=0.0,
 
 
 def fbd_prior_random(ages, n_tips, lam, mu, psi, rho, fossil_mask,
-                     treeage_lp=0.0):
+                     treeage_lp=0.0, sa=None, parent=None):
     """Direct transcription of LnFossilizedBDPriorRandom (no rate shifts),
-    reference src/mcmc.c:9013 with helpers :8693-8762."""
+    reference src/mcmc.c:9013 with helpers :8693-8762.  ``sa``/``parent``
+    mark ancestral fossils (zero-length fossil tips): their parent is a
+    degree-2 sampling vertex contributing psi (src/mcmc.c:9073-9085)."""
     root = 2 * n_tips - 2
     tmrca = ages[root]
     c1 = np.sqrt((lam - mu - psi) ** 2 + 4 * lam * psi)
@@ -74,14 +76,21 @@ def fbd_prior_random(ages, n_tips, lam, mu, psi, rho, fossil_mask,
     p_t = np.exp(ln_p(tmrca))
     prob = 0.0
     M = E = 0
+    sa = sa if sa is not None else np.zeros(n_tips, bool)
+    sa_parents = set()
+    if parent is not None:
+        sa_parents = {int(parent[v]) for v in range(n_tips) if sa[v]}
     for v in range(2 * n_tips - 1):
         x = ages[v]
         if v >= n_tips:            # internal
-            if v != root:
+            if v in sa_parents:    # degree-2 sampling vertex (anc fossil)
+                prob += np.log(psi)
+            elif v != root:
                 prob += np.log(lam) + ln_q(x)
         elif fossil_mask[v]:       # fossil tip
-            prob += ln_p(x) - ln_q(x) + np.log(psi)
-            M += 1
+            if not sa[v]:
+                prob += ln_p(x) - ln_q(x) + np.log(psi)
+                M += 1
         else:                      # extant tip
             prob += np.log(rho)
             E += 1
