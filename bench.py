@@ -18,9 +18,11 @@ REF_GENS_PER_SEC_32CH = 643.0   # reference CPU scales ~1/nchains (serial)
 
 def main():
     import jax
-    # persistent compile cache: first invocation pays the (tunnel) compile,
-    # later invocations start in seconds
-    jax.config.update("jax_compilation_cache_dir", "/tmp/mb_tpu_jax_cache")
+    # persistent compile cache (CPU-feature-keyed dir; see
+    # mrbayes_tpu._cache_dir): first invocation pays the (tunnel)
+    # compile, later invocations start in seconds
+    from mrbayes_tpu import _cache_dir
+    jax.config.update("jax_compilation_cache_dir", _cache_dir())
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import numpy as np
 

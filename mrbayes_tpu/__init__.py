@@ -1,18 +1,43 @@
 __version__ = "0.1.0"
 
 
+def _cache_dir() -> str:
+    """Persistent-cache directory keyed by host CPU features.
+
+    XLA:CPU cache entries embed AOT machine code for the compiling host's
+    CPU features; loading them on a host without those features (the
+    build fleet migrates between machine types) raises SIGILL and kills
+    the process.  Hashing the feature set into the directory name makes
+    mismatched hosts use disjoint caches.  TPU entries are unaffected
+    either way (same dir per feature set is fine).
+    """
+    import hashlib
+    import os
+    import platform
+    feats = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    feats = line
+                    break
+    except OSError:
+        pass
+    tag = hashlib.sha1((platform.machine() + feats).encode()).hexdigest()[:8]
+    return os.environ.get("MB_TPU_CACHE_DIR",
+                          f"/tmp/mb_tpu_jax_cache_{tag}")
+
+
 def _enable_compile_cache():
     """Persistent XLA compile cache: first compile of a model config pays
     the full cost (~1-3 min over a TPU tunnel); every later process start
-    reuses it.  Safe on CPU too.  Opt out with MB_TPU_NO_CACHE=1."""
+    reuses it.  Opt out with MB_TPU_NO_CACHE=1."""
     import os
     if os.environ.get("MB_TPU_NO_CACHE"):
         return
     try:
         import jax
-        jax.config.update("jax_compilation_cache_dir",
-                          os.environ.get("MB_TPU_CACHE_DIR",
-                                         "/tmp/mb_tpu_jax_cache"))
+        jax.config.update("jax_compilation_cache_dir", _cache_dir())
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass

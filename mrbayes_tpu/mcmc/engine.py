@@ -812,6 +812,15 @@ class Engine:
             # swapper (Move_ExtSS)
             mk.append(MoveSpec("ext_spr", partial(M.move_ext_spr, n_tips=n),
                                10.0, 0.8, 0.25, 1, 0.05, 0.95))
+            if n > 3:
+                # bisection moves need a true internal edge
+                mk.append(MoveSpec("ext_tbr",
+                                   partial(M.move_ext_tbr, n_tips=n),
+                                   5.0, 0.8, 0.25, 1, 0.05, 0.95))
+                mk.append(MoveSpec("local",
+                                   partial(M.move_local, n_tips=n),
+                                   2.0, 2.0 * np.log(1.6), 0.25, 1,
+                                   1e-3, 20.0))
             mk.append(MoveSpec("subtree_swap",
                                partial(M.move_subtree_swap, n_tips=n),
                                2.0, 0.0, tunable=False))

@@ -222,6 +222,241 @@ def move_ext_spr(key, state, tuning, n_tips):
     return st, lnH
 
 
+def move_local(key, state, tuning, n_tips):
+    """LOCAL move of Larget & Simon 1999 (reference Move_Local,
+    src/proposal.c:6317): pick an internal edge (v,u); build the
+    three-edge backbone a—u—v—c (a drawn from u's other neighbors, c
+    from v's children); scale the backbone by exp(lambda(U-1/2)); slide
+    one endpoint of v's edge uniformly along the new backbone, changing
+    topology when it crosses the other endpoint.  Hastings ratio is
+    3·log(m*/m) — the uniform-reinsertion variant the reference
+    implements (src/proposal.c:6477)."""
+    root = 2 * n_tips - 2
+    parent, left, right, blen = (state["parent"], state["left"],
+                                 state["right"], state["blen"])
+    k1, kc, ka, km, kx, ky = jax.random.split(key, 6)
+    idx = jnp.arange(2 * n_tips - 1)
+    # internal edge: v internal, v not root, parent(v) not root
+    mask = (idx >= n_tips) & (idx != root) & (parent != root)
+    v = _masked_choice(k1, mask)
+    u = parent[v]
+    # crown: c the backbone child of v (d = other child, rides along)
+    c = jnp.where(jax.random.bernoulli(kc), left[v], right[v])
+    # root part: up = walk through u's sibling edge; down = through u's
+    # parent edge (reference directionUp)
+    s = jnp.where(left[u] == v, right[u], left[u])
+    g = parent[u]
+    direction_up = jax.random.bernoulli(ka)
+    a = jnp.where(direction_up, s, g)
+    # backbone edge above the a-end: blen[a] (up) or blen[u] (down)
+    x = jnp.where(direction_up, blen[a], blen[u])
+    y = x + blen[v]
+    old_m = y + blen[c]
+    new_m = jnp.exp(tuning * (jax.random.uniform(km) - 0.5)) * old_m
+    move_x = jax.random.bernoulli(kx)
+    r = jax.random.uniform(ky)
+    scale = new_m / old_m
+    new_x = jnp.where(move_x, r * new_m, x * scale)
+    new_y = jnp.where(move_x, y * scale, r * new_m)
+    topo = new_x > new_y
+    lo = jnp.minimum(new_x, new_y)
+    hi = jnp.maximum(new_x, new_y)
+    seg = jnp.stack([lo, hi - lo, new_m - hi])
+    ok = jnp.all((seg >= BRLEN_MIN) & (seg <= BRLEN_MAX))
+    lnH = 3.0 * jnp.log(scale)
+
+    def no_topo(st):
+        b = st["blen"].at[c].set(new_m - new_y).at[v].set(new_y - new_x)
+        slot = jnp.where(direction_up, a, u)
+        return {**st, "blen": b.at[slot].set(new_x)}
+
+    def topo_up(st):
+        # u's v-slot <- c; v's c-slot <- a; u's a-slot <- v
+        st = _replace_child(st, u, v, c)
+        st = _replace_child(st, v, c, a)
+        st = _replace_child(st, u, a, v)
+        b = (st["blen"].at[c].set(new_m - new_x)
+             .at[v].set(new_x - new_y).at[a].set(new_y))
+        return {**st, "blen": b}
+
+    def topo_down(st):
+        # u's v-slot <- c; v's c-slot <- u; a(=g)'s u-slot <- v
+        st = _replace_child(st, u, v, c)
+        st = _replace_child(st, v, c, u)
+        st = _replace_child(st, a, u, v)
+        b = (st["blen"].at[c].set(new_m - new_x)
+             .at[u].set(new_x - new_y).at[v].set(new_y))
+        return {**st, "blen": b}
+
+    st = jax.lax.cond(
+        topo,
+        lambda s_: jax.lax.cond(direction_up, topo_up, topo_down, s_),
+        no_topo, state)
+    return st, jnp.where(ok, lnH, NEG_INF)
+
+
+def _reroot_pruned(state, v, c, u_split):
+    """Re-root the pruned subtree hanging from v: place the (degree-2)
+    junction v on the edge above c, reversing parent links on the
+    c→v path and merging v's two old root edges.  Returns the new state
+    and log|Jacobian| of the merge+split length change.  Used by
+    move_ext_tbr (reference Move_ExtTBR crown rearrangement,
+    src/proposal.c:5047)."""
+    st = state
+    L0, R0, P0, B0 = (state["left"], state["right"], state["parent"],
+                      state["blen"])
+    x, y = L0[v], R0[v]
+    m1 = B0[x] + B0[y]
+    identity = (c == x) | (c == y)
+    q = P0[c]
+    t_c = B0[c]
+
+    # walk the path q -> ... -> child-of-v, reversing each edge.  NB: the
+    # loop must be total under vmap (lax.cond lowers to select, so this
+    # body executes even for identity lanes) — start those lanes done.
+    def cond(carry):
+        return ~carry[4]
+
+    def body(carry):
+        left, right, par, blen, done, prev, cur = carry
+        nxt = P0[cur]
+        last = nxt == v
+        other = jnp.where(L0[v] == cur, R0[v], L0[v])
+        new_child = jnp.where(last, other, nxt)
+        is_l = left[cur] == prev
+        left = left.at[cur].set(
+            jnp.where(is_l, new_child, left[cur]))
+        right = right.at[cur].set(
+            jnp.where(is_l, right[cur], new_child))
+        par = par.at[new_child].set(cur)
+        blen = blen.at[new_child].set(jnp.where(last, m1, B0[cur]))
+        return (left, right, par, blen, last, cur, nxt)
+
+    left, right, par, blen, _, _, _ = jax.lax.while_loop(
+        cond, body,
+        (st["left"], st["right"], st["parent"], st["blen"],
+         identity, c, q))
+    # v's children become (c, q); split the old edge above c
+    left = left.at[v].set(c)
+    right = right.at[v].set(q)
+    par = par.at[c].set(v).at[q].set(v)
+    blen = blen.at[c].set(u_split * t_c).at[q].set(
+        (1.0 - u_split) * t_c)
+    lnJ = (jnp.log(jnp.maximum(t_c, 1e-35))
+           - jnp.log(jnp.maximum(m1, 1e-35)))
+    rerooted = {**st, "left": left, "right": right, "parent": par,
+                "blen": blen}
+    out = jax.tree.map(lambda a, b: jnp.where(identity, a, b),
+                       st, rerooted)
+    return out, jnp.where(identity, 0.0, lnJ)
+
+
+def move_ext_tbr(key, state, tuning, n_tips):
+    """Extending TBR (reference Move_ExtTBR, src/proposal.c:5047): bisect
+    a random internal edge (v, parent(v)); on the root side, walk outward
+    with extension probability ``tuning`` to choose the reattachment edge
+    (exactly the ExtSPR walk); on the crown side, walk down from the
+    pruned subtree's merged root edge to choose a new root edge and
+    re-root the subtree there.  Hastings combines the two walks' endpoint
+    stop factors with the two merge/split length Jacobians."""
+    root = 2 * n_tips - 2
+    parent, left, right, blen = (state["parent"], state["left"],
+                                 state["right"], state["blen"])
+    k1, kd1, kw1, ku1, kd2, kw2, ku2 = jax.random.split(key, 7)
+    idx = jnp.arange(2 * n_tips - 1)
+    basal = left[root]
+    # internal edge: v internal, not root, not basal (edge to tip 0)
+    vmask = (idx >= n_tips) & (idx != root) & (idx != basal)
+    v = _masked_choice(k1, vmask)
+    p = parent[v]
+    g = parent[p]
+    s = jnp.where(left[p] == v, right[p], left[p])
+    merged = blen[s] + blen[p]
+    # detach p: s hangs under g with the merged edge
+    st = _replace_child(state, g, p, s)
+    st = {**st, "blen": st["blen"].at[s].set(merged)}
+    pext = jnp.clip(tuning, 0.05, 0.95)
+
+    # --- crown side: walk down from the merged root edge of subtree(v)
+    x, y = st["left"][v], st["right"][v]
+    d0 = jnp.where(jax.random.bernoulli(kd1), x, y)
+    Lc, Rc = st["left"], st["right"]
+
+    def cond1(carry):
+        return ~carry[3]
+
+    def body1(carry):
+        key, w, k, done, at_tip = carry
+        key, ks, kc = jax.random.split(key, 3)
+        is_tip = w < n_tips
+        stop = is_tip | (jax.random.uniform(ks) > pext)
+        nw = jnp.where(jax.random.bernoulli(kc), Lc[w], Rc[w])
+        return (key, jnp.where(stop, w, nw),
+                k + jnp.where(stop, 0, 1), stop, is_tip)
+
+    _, c, k1n, _, c_tip = jax.lax.while_loop(
+        cond1, body1, (kw1, d0, jnp.int32(0), jnp.bool_(False),
+                       jnp.bool_(False)))
+    # reverse crown walk ends at the old merged edge; its continuation
+    # is blocked only if the old endpoint child is a tip
+    o0 = jnp.where(d0 == x, y, x)
+    rev1_tip = o0 < n_tips
+    ln_stop_f1 = jnp.where(c_tip, 0.0, jnp.log1p(-pext))
+    ln_stop_r1 = jnp.where(rev1_tip, 0.0, jnp.log1p(-pext))
+    lnH1_walk = jnp.where(k1n > 0, ln_stop_r1 - ln_stop_f1, 0.0)
+    st, lnH1_len = _reroot_pruned(st, v, c, jax.random.uniform(ku1))
+
+    # --- root side: the ExtSPR walk from s, then reattach p above w
+    L, R, P = st["left"], st["right"], st["parent"]
+
+    def tip_far(w, toward):
+        return jnp.where(toward == 0, w < n_tips, P[w] == root)
+
+    d2 = jax.random.bernoulli(kd2)
+
+    def cond2(carry):
+        return ~carry[4]
+
+    def body2(carry):
+        key, w, toward, k, done, at_tip0 = carry
+        key, ks, kc = jax.random.split(key, 3)
+        at_tip = tip_far(w, toward)
+        stop = at_tip | (jax.random.uniform(ks) > pext)
+        u = P[w]
+        sib = jnp.where(L[u] == w, R[u], L[u])
+        choice = jax.random.bernoulli(kc)
+        nw = jnp.where(toward == 0,
+                       jnp.where(choice, L[w], R[w]),
+                       jnp.where(choice, sib, u))
+        nt = jnp.where(toward == 0, 0,
+                       jnp.where(choice, 0, 1)).astype(jnp.int32)
+        return (key, jnp.where(stop, w, nw),
+                jnp.where(stop, toward, nt),
+                k + jnp.where(stop, 0, 1), stop, at_tip)
+
+    _, w, _, k2n, _, w_tip = jax.lax.while_loop(
+        cond2, body2,
+        (kw2, s, d2.astype(jnp.int32), jnp.int32(0),
+         jnp.bool_(False), jnp.bool_(False)))
+    rev2_tip = tip_far(s, 1 - d2.astype(jnp.int32))
+    ln_stop_f2 = jnp.where(w_tip, 0.0, jnp.log1p(-pext))
+    ln_stop_r2 = jnp.where(rev2_tip, 0.0, jnp.log1p(-pext))
+    lnH2_walk = jnp.where(k2n > 0, ln_stop_r2 - ln_stop_f2, 0.0)
+
+    t_w = st["blen"][w]
+    u_split = jax.random.uniform(ku2)
+    gw = st["parent"][w]
+    st = _replace_child(st, gw, w, p)
+    st = _replace_child(st, p, s, w)
+    blen2 = st["blen"].at[p].set(u_split * t_w).at[w].set(
+        (1.0 - u_split) * t_w)
+    st = {**st, "blen": blen2}
+    lnH2_len = (jnp.log(jnp.maximum(t_w, 1e-35))
+                - jnp.log(jnp.maximum(merged, 1e-35)))
+    lnH = lnH1_walk + lnH1_len + lnH2_walk + lnH2_len
+    return st, lnH
+
+
 def move_subtree_swap(key, state, tuning, n_tips):
     """Swap two non-nested subtrees (role of reference Move_ExtSS,
     src/proposal.c:4118, with a uniform partner choice and an exact

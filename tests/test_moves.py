@@ -37,6 +37,8 @@ def _check(state):
     ("nni", M.move_nni, 0.0),
     ("spr", M.move_spr, 0.0),
     ("ext_spr", M.move_ext_spr, 0.8),
+    ("ext_tbr", M.move_ext_tbr, 0.8),
+    ("local", M.move_local, 1.0),
     ("subtree_swap", M.move_subtree_swap, 0.0),
     ("node_slider", M.move_node_slider, 0.0),
     ("blen_mult", M.move_blen_multiplier, 1.0),
@@ -94,6 +96,77 @@ def test_subtree_swap_hastings_counts():
         # cheaper: verify |lnH| is log-ratio of small-integer reciprocals
         assert np.isfinite(float(lnH))
         _check(new)
+
+
+def _topology_id(parent, left, right, n_tips):
+    """Canonical unrooted-topology signature: frozenset of non-trivial
+    split bitmasks."""
+    n_nodes = 2 * n_tips - 1
+    below = [1 << i for i in range(n_tips)] + [0] * (n_tips - 1)
+    order = []
+    # postorder by repeated passes (tiny trees)
+    done = [i < n_tips for i in range(n_nodes)]
+    while not all(done):
+        for v in range(n_tips, n_nodes):
+            if not done[v] and done[left[v]] and done[right[v]]:
+                below[v] = below[left[v]] | below[right[v]]
+                done[v] = True
+                order.append(v)
+    full = (1 << n_tips) - 1
+    splits = set()
+    for v in range(n_tips, n_nodes):
+        m = below[v]
+        m = min(m, full ^ m)
+        if bin(m).count("1") >= 2:
+            splits.add(m)
+    return frozenset(splits)
+
+
+@pytest.mark.parametrize("name,fn,tuning", [
+    ("ext_tbr", M.move_ext_tbr, 0.7),
+    ("local", M.move_local, 1.5),
+    ("ext_spr", M.move_ext_spr, 0.7),
+])
+def test_topology_marginal_uniform(name, fn, tuning):
+    """Hastings-ratio validation: a prior-only chain using one topology
+    move must sample the 15 unrooted 5-tip topologies uniformly (the
+    statistical analog of the reference's debug-build correctness
+    philosophy; wrong lnH skews this distribution hard)."""
+    n = 5
+    rng = np.random.default_rng(0)
+    t = random_unrooted(n, rng, mean_blen=0.1)
+    state = {"left": jnp.asarray(t.left), "right": jnp.asarray(t.right),
+             "parent": jnp.asarray(t.parent),
+             "blen": jnp.asarray(t.blen, jnp.float32)}
+
+    def prior(st):
+        mask = jnp.ones(2 * n - 1, bool).at[2 * n - 2].set(False)
+        mask = mask.at[0].set(False)
+        return jnp.sum(jnp.where(mask, -10.0 * st["blen"], 0.0))
+
+    def step(carry, key):
+        st = carry
+        k1, k2 = jax.random.split(key)
+        new, lnH = fn(k1, st, jnp.float32(tuning), n_tips=n)
+        ln_r = prior(new) - prior(st) + lnH
+        ok_len = jnp.all((new["blen"][1:] > 0)
+                         & (new["blen"][1:] < M.BRLEN_MAX))
+        acc = (jnp.log(jax.random.uniform(k2)) < ln_r) & ok_len
+        out = jax.tree.map(lambda a, b: jnp.where(acc, a, b), new, st)
+        return out, (out["parent"], out["left"], out["right"])
+
+    keys = jax.random.split(jax.random.PRNGKey(99), 30000)
+    _, (P, L, R) = jax.lax.scan(step, state, keys)
+    P, L, R = np.asarray(P), np.asarray(L), np.asarray(R)
+    counts: dict = {}
+    for i in range(4000, 30000, 4):
+        tid = _topology_id(P[i], L[i], R[i], n)
+        counts[tid] = counts.get(tid, 0) + 1
+    assert len(counts) == 15, f"only {len(counts)} topologies visited"
+    freqs = np.array(sorted(counts.values())) / sum(counts.values())
+    # expect 1/15 = 0.0667 each; generous MCMC-error envelope
+    assert freqs.min() > 0.030, freqs
+    assert freqs.max() < 0.125, freqs
 
 
 def test_pars_spr_invariants(primates):
