@@ -498,22 +498,43 @@ class Interpreter:
         self.log(f"   Defined {len(pairs)} nucleotide pairs")
 
     def do_constraint(self, args, base_dir):
-        """constraint <name> [hard|prob] = <taxa> (reference DoConstraint,
-        src/command.c:2419).  Enforced only when listed in
-        prset topologypr=constraints(...)."""
+        """constraint <name> [hard|negative|partial] = <taxa> [: <taxa2>]
+        (reference DoConstraint, src/command.c:2419; partial constraints
+        carry a second taxon set after ':').  Enforced only when listed
+        in prset topologypr=constraints(...)."""
         name = args[0]
         rest = [t for t in args[1:] if t != "="]
-        # drop an optional probability/hardness token before '='
+        ctype = "hard"
         if rest and rest[0].lower() in ("hard", "negative", "partial"):
-            if rest[0].lower() != "hard":
-                self.log(f"   [constraint {name}: only hard constraints "
-                         "are enforced]")
+            ctype = rest[0].lower()
             rest = rest[1:]
-        ids = self._expand_taxa(rest)
         ntax = len(self.env.nexus.taxa)
+        mask2 = None
+        if ctype == "partial":
+            if ":" not in rest:
+                raise CommandError(
+                    f"partial constraint {name} needs two taxon sets "
+                    "separated by ':'")
+            cut = rest.index(":")
+            ids2 = self._expand_taxa(rest[cut + 1:])
+            rest = rest[:cut]
+            mask2 = np.zeros(ntax, bool)
+            mask2[ids2] = True
+        ids = self._expand_taxa(rest)
         mask = np.zeros(ntax, bool)
         mask[ids] = True
-        self.env.constraints[name.lower()] = mask
+        if ctype == "partial":
+            if (mask & mask2).any():
+                raise CommandError(
+                    f"partial constraint {name}: the two taxon sets "
+                    "intersect (reference src/command.c:2482)")
+            if not mask2.any():
+                raise CommandError(
+                    f"partial constraint {name}: empty second set")
+        if ctype in ("negative", "partial") and mask.sum() < 2:
+            raise CommandError(
+                f"{ctype} constraint {name} needs at least two taxa")
+        self.env.constraints[name.lower()] = (ctype, mask, mask2)
 
     def do_calibrate(self, args, base_dir):
         """calibrate <taxon|constraint|root> = fixed(age)|uniform(a,b)|
@@ -855,8 +876,14 @@ class Interpreter:
                 continue
             if name not in env.constraints:
                 raise CommandError(f"constraint {name!r} not defined")
-            mask = env.constraints[name][keep]
-            cons.append((name, mask, calibs.get(name)))
+            ctype, mask, mask2 = env.constraints[name]
+            mask = mask[keep]
+            if ctype == "hard":
+                cons.append((name, mask, calibs.get(name)))
+            else:
+                cons.append((name, ctype, mask,
+                             None if mask2 is None else mask2[keep],
+                             calibs.get(name)))
         ts.constraints = cons
 
     MCMC_KEYS = ("ngen", "nruns", "nchains", "temp", "samplefreq",

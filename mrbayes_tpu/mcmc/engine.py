@@ -205,8 +205,22 @@ class Engine:
         # prior replaces treeagepr (reference: dated root skips treeAgePr,
         # src/mcmc.c:9476-9484).
         self._root_calib: Prior | None = None
-        cons = []
-        for (nm, m, p) in (ts.constraints or []):
+        cons, negs, partials = [], [], []
+        for entry in (ts.constraints or []):
+            # legacy 3-tuple = hard; 5-tuple carries the constraint type
+            # (hard|negative|partial) and the partial second taxon set
+            # (reference ConstraintType, src/bayes.h:517-521)
+            if len(entry) == 3:
+                nm, m, p = entry
+                ctype, m2 = "hard", None
+            else:
+                nm, ctype, m, m2, p = entry
+            if ctype == "negative":
+                negs.append(m)
+                continue
+            if ctype == "partial":
+                partials.append((m, m2))
+                continue
             if m.all():
                 if p is not None:
                     self._root_calib = p
@@ -216,6 +230,10 @@ class Engine:
                                  if cons else None)
         self.constraint_priors = [p for (_, _, p) in cons]
         self.constraint_names = [nm for (nm, _, _) in cons]
+        self.negative_masks = np.stack(negs) if negs else None
+        self.partial_masks = (
+            (np.stack([a for a, _ in partials]),
+             np.stack([b for _, b in partials])) if partials else None)
 
     def _constraint_terms(self, state):
         """NEG_INF when a hard constraint is violated, plus calibration
@@ -223,30 +241,61 @@ class Engine:
         satisfaction check src/mcmc.c:16777 DoesTreeSatisfyConstraints;
         calibration priors added in LogPrior)."""
         from ..ops.traversal import ancestor_matrix
-        if self.constraint_masks is None:
+        if (self.constraint_masks is None and self.negative_masks is None
+                and self.partial_masks is None):
             return jnp.float32(0.0)
+        rooted = self.tree_settings.clock
         A = ancestor_matrix(state["parent"])      # [n_nodes, n_nodes]
         tipA = A[:self.n_tips]                    # [n_tips, n_nodes]
-        masks = jnp.asarray(self.constraint_masks, jnp.float32)
-        counts = masks @ tipA                     # [C, n_nodes]
         sizes = jnp.sum(tipA, axis=0)             # [n_nodes]
-        totals = jnp.sum(masks, axis=1)           # [C]
-        is_clade = ((counts == totals[:, None])
-                    & (sizes[None, :] == totals[:, None]))
-        if self.tree_settings.clock:
-            mono = is_clade.any(-1)
-        else:
-            # unrooted: the complement side of the split also satisfies it
-            comp = ((counts == 0.0)
-                    & (sizes[None, :] == self.n_tips - totals[:, None]))
-            mono = (is_clade | comp).any(-1)
-        lp = jnp.where(jnp.all(mono), 0.0, NEG_INF)
-        if self.tree_settings.clock:
-            for c, pr in enumerate(self.constraint_priors):
-                if pr is None or pr.kind == "fixed":
-                    continue
-                mrca = jnp.argmax(is_clade[c])
-                lp = lp + _scalar_prior_lpdf(pr, state["age"][mrca])
+        lp = jnp.float32(0.0)
+
+        def clade_counts(masks_np):
+            m = jnp.asarray(masks_np, jnp.float32)
+            return m @ tipA, jnp.sum(m, axis=1)   # [C, n_nodes], [C]
+
+        if self.constraint_masks is not None:
+            counts, totals = clade_counts(self.constraint_masks)
+            is_clade = ((counts == totals[:, None])
+                        & (sizes[None, :] == totals[:, None]))
+            if rooted:
+                mono = is_clade.any(-1)
+            else:
+                # unrooted: the complement side also satisfies the split
+                comp = ((counts == 0.0)
+                        & (sizes[None, :]
+                           == self.n_tips - totals[:, None]))
+                mono = (is_clade | comp).any(-1)
+            lp = lp + jnp.where(jnp.all(mono), 0.0, NEG_INF)
+            if rooted:
+                for c, pr in enumerate(self.constraint_priors):
+                    if pr is None or pr.kind == "fixed":
+                        continue
+                    mrca = jnp.argmax(is_clade[c])
+                    lp = lp + _scalar_prior_lpdf(pr, state["age"][mrca])
+        if self.negative_masks is not None:
+            # banned clade: reject when any node's partition equals the
+            # set (reference DoesTreeSatisfyConstraints NEGATIVE branch,
+            # src/model.c:12709-12737)
+            counts, totals = clade_counts(self.negative_masks)
+            is_clade = ((counts == totals[:, None])
+                        & (sizes[None, :] == totals[:, None]))
+            if not rooted:
+                comp = ((counts == 0.0)
+                        & (sizes[None, :]
+                           == self.n_tips - totals[:, None]))
+                is_clade = is_clade | comp
+            lp = lp + jnp.where(jnp.any(is_clade), NEG_INF, 0.0)
+        if self.partial_masks is not None:
+            # partial (backbone) constraint set1:set2 — some node must
+            # contain all of set1 and none of set2 (unrooted: or the
+            # mirrored direction; reference src/model.c:12660-12707)
+            c1, t1 = clade_counts(self.partial_masks[0])
+            c2, t2 = clade_counts(self.partial_masks[1])
+            ok = (c1 == t1[:, None]) & (c2 == 0.0)
+            if not rooted:
+                ok = ok | ((c2 == t2[:, None]) & (c1 == 0.0))
+            lp = lp + jnp.where(jnp.all(ok.any(-1)), 0.0, NEG_INF)
         return lp
 
     # ------------------------------------------------------------------
@@ -1008,6 +1057,43 @@ class Engine:
     # ------------------------------------------------------------------
     # state
 
+    def _start_clade_masks(self) -> list:
+        """Clades the starting tree must contain: hard constraint sets
+        plus partial-constraint first sets (making set1 a clade excludes
+        set2 from it, satisfying the backbone condition)."""
+        masks = []
+        if self.constraint_masks is not None:
+            masks += [m for m in self.constraint_masks]
+        if self.partial_masks is not None:
+            masks += [m for m in self.partial_masks[0]]
+        return masks
+
+    def _retry_negative(self, build, tree_of, tries: int = 100):
+        """Draw starting trees until none of the negative-constraint
+        clades is present (rejection; random trees rarely contain a
+        specific split)."""
+        for _ in range(tries):
+            out = build()
+            if self.negative_masks is None:
+                return out
+            t = tree_of(out)
+            tipsets = np.zeros((t.n_nodes, self.n_tips), bool)
+            tipsets[np.arange(self.n_tips), np.arange(self.n_tips)] = True
+            for v in t.postorder():
+                tipsets[v] = tipsets[t.left[v]] | tipsets[t.right[v]]
+            bad = False
+            for m in self.negative_masks:
+                eq = (tipsets == m[None, :]).all(1)
+                if not t.rooted:
+                    eq |= (tipsets == ~m[None, :]).all(1)
+                if eq.any():
+                    bad = True
+                    break
+            if not bad:
+                return out
+        raise ValueError("could not draw a starting tree satisfying the "
+                         "negative constraints")
+
     def init_state(self, rng: np.random.Generator, tree: Tree | None = None):
         """One chain's state dict (host values)."""
         ts = self.tree_settings
@@ -1050,9 +1136,20 @@ class Engine:
             mean_age = 0.1
             if self.has_dated_tips:
                 mean_age = max(0.1, 1.2 * float(self.tip_dates.max()))
-            t, ages = random_clock_tree(
-                self.n_tips, rng, mean_age=mean_age,
-                tip_ages=self.tip_dates if self.has_dated_tips else None)
+            smasks = self._start_clade_masks()
+            if smasks:
+                from ..trees import random_clock_tree_constrained
+                t, ages = self._retry_negative(
+                    lambda: random_clock_tree_constrained(
+                        self.n_tips, rng, smasks, mean_age=mean_age,
+                        tip_ages=(self.tip_dates if self.has_dated_tips
+                                  else None)),
+                    lambda pair: pair[0])
+            else:
+                t, ages = random_clock_tree(
+                    self.n_tips, rng, mean_age=mean_age,
+                    tip_ages=self.tip_dates if self.has_dated_tips
+                    else None)
             st = {
                 "left": jnp.asarray(t.left), "right": jnp.asarray(t.right),
                 "parent": jnp.asarray(t.parent),
@@ -1094,8 +1191,17 @@ class Engine:
                     # ancestral-fossil flags; all fossils start as tips
                     st["sa"] = jnp.zeros((self.n_tips,), jnp.int32)
         else:
-            t = tree or self.start_tree \
-                or random_unrooted(self.n_tips, rng, mean_blen=0.1)
+            t = tree or self.start_tree
+            if t is None:
+                smasks = self._start_clade_masks()
+                if smasks or self.negative_masks is not None:
+                    from ..trees import random_unrooted_constrained
+                    t = self._retry_negative(
+                        lambda: random_unrooted_constrained(
+                            self.n_tips, rng, smasks, mean_blen=0.1),
+                        lambda x: x)
+                else:
+                    t = random_unrooted(self.n_tips, rng, mean_blen=0.1)
             st = {
                 "left": jnp.asarray(t.left), "right": jnp.asarray(t.right),
                 "parent": jnp.asarray(t.parent),

@@ -212,6 +212,89 @@ def test_constraints_enforced_nonclock():
         assert (is_clade | comp).any()
 
 
+def _tree_state(newick, taxa):
+    from mrbayes_tpu.trees import parse_newick
+    t = parse_newick(newick, taxa)
+    return {"left": jnp.asarray(t.left), "right": jnp.asarray(t.right),
+            "parent": jnp.asarray(t.parent),
+            "blen": jnp.asarray(t.blen, jnp.float32)}
+
+
+def test_negative_constraint_terms():
+    """A negative constraint must reject exactly the trees containing the
+    banned split (reference DoesTreeSatisfyConstraints NEGATIVE,
+    src/model.c:12709)."""
+    taxa = ["a", "b", "c", "d", "e", "f"]
+    ds = _mini_dataset(ntax=6, nchar=30, seed=4)
+    mask = np.zeros(6, bool)
+    mask[[2, 3]] = True     # ban clade {c,d}
+    ts = TreeSettings(constraints=[("no_cd", "negative", mask, None,
+                                    None)])
+    eng = Engine(ds, [DivisionSettings(nst="1")], tree_settings=ts,
+                 mcmc=McmcSettings(nruns=1, nchains=1, seed=3))
+    bad = _tree_state("(a,(b,((c,d),(e,f))));", taxa)
+    good = _tree_state("(a,(b,((c,e),(d,f))));", taxa)
+    assert float(eng._constraint_terms(bad)) < -1e20
+    assert float(eng._constraint_terms(good)) == 0.0
+    # complement side counts as the same split on unrooted trees
+    bad2 = _tree_state("(a,((b,(e,f)),(c,d)));", taxa)
+    assert float(eng._constraint_terms(bad2)) < -1e20
+
+
+def test_partial_constraint_terms():
+    """Partial (backbone) constraint set1:set2 — some branch must place
+    all of set1 on one side and all of set2 on the other (reference
+    src/model.c:12660)."""
+    taxa = ["a", "b", "c", "d", "e", "f"]
+    ds = _mini_dataset(ntax=6, nchar=30, seed=4)
+    m1 = np.zeros(6, bool)
+    m1[[1, 2]] = True       # b,c together ...
+    m2 = np.zeros(6, bool)
+    m2[[4, 5]] = True       # ... away from e,f
+    ts = TreeSettings(constraints=[("bb", "partial", m1, m2, None)])
+    eng = Engine(ds, [DivisionSettings(nst="1")], tree_settings=ts,
+                 mcmc=McmcSettings(nruns=1, nchains=1, seed=3))
+    # {b,c,d} vs rest separates {b,c} from {e,f}: satisfied (d may roam)
+    good = _tree_state("(a,((b,(c,d)),(e,f)));", taxa)
+    assert float(eng._constraint_terms(good)) == 0.0
+    # e inside every branch grouping b with c: violated
+    bad = _tree_state("(a,(d,((b,(c,e)),f)));", taxa)
+    assert float(eng._constraint_terms(bad)) < -1e20
+
+
+def test_cli_negative_partial_constraint_parsing(tmp_path):
+    nex = tmp_path / "c.nex"
+    nex.write_text("""
+#NEXUS
+begin data;
+  dimensions ntax=5 nchar=8;
+  format datatype=dna;
+  matrix
+    a ACGTACGT
+    b ACGTACGA
+    c ACGAACGT
+    d ACGTACAT
+    e AAGTACGT
+  ;
+end;
+begin mrbayes;
+  constraint noAB negative = a b;
+  constraint back partial = b c : d e;
+  prset topologypr=constraints(noAB, back);
+end;
+""")
+    from mrbayes_tpu.cli import Interpreter
+    it = Interpreter(log=lambda m: None)
+    it.execute_file(str(nex))
+    eng = it.build_engine()
+    assert eng.negative_masks is not None
+    assert eng.negative_masks.sum() == 2
+    assert eng.partial_masks is not None
+    m1, m2 = eng.partial_masks
+    assert m1[0].tolist() == [False, True, True, False, False]
+    assert m2[0].tolist() == [False, False, False, True, True]
+
+
 def test_calibrated_node_density():
     """A calibrated constraint shifts the prior by the MRCA-age lpdf."""
     ds = _mini_dataset(ntax=6, nchar=30, seed=2)
