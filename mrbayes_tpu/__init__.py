@@ -37,6 +37,15 @@ def _enable_compile_cache():
         return
     try:
         import jax
+        # XLA:CPU executable (de)serialization is unreliable on this
+        # fleet (SIGILL loading entries AOT-compiled on a different
+        # machine type; SIGSEGV inside put_executable_and_time) — the
+        # cache only pays off for TPU-tunnel compiles, so enable it only
+        # when the effective platform is not CPU.
+        platforms = (jax.config.jax_platforms
+                     or os.environ.get("JAX_PLATFORMS", ""))
+        if "cpu" in str(platforms).lower().split(","):
+            return
         jax.config.update("jax_compilation_cache_dir", _cache_dir())
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:

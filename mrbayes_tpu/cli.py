@@ -1042,10 +1042,24 @@ class Interpreter:
                 prefix = val[0]
             elif key == "contype":
                 allcompat = "allcompat" in val[0].lower()
-        res = sumt(prefix, burninfrac=burn, log=self.log,
-                   allcompat=allcompat)
-        self.log("   Consensus tree written to "
-                 f"\"{prefix}.con.tre\"")
+        import glob as _glob
+        tree_pfx = sorted({p.rsplit(".run", 1)[0] for p in
+                           _glob.glob(f"{prefix}.tree*.run*.t")})
+        if tree_pfx:
+            # unlinked topologies: one summary per tree parameter
+            # (reference sumt loops numTrees, src/sumpt.c:4899)
+            for tp in tree_pfx:
+                self.log(f"   Summarizing tree parameter "
+                         f"\"{tp[len(prefix) + 1:]}\"")
+                sumt(tp, burninfrac=burn, log=self.log,
+                     allcompat=allcompat)
+                self.log("   Consensus tree written to "
+                         f"\"{tp}.con.tre\"")
+        else:
+            sumt(prefix, burninfrac=burn, log=self.log,
+                 allcompat=allcompat)
+            self.log("   Consensus tree written to "
+                     f"\"{prefix}.con.tre\"")
 
     def do_showmodel(self, args, base_dir):
         self.env.ensure_div_settings()

@@ -145,6 +145,7 @@ class Engine:
             self.tip_species = jnp.asarray(tip_sp)
         self._build_dating()
         self._build_groups(div_settings, links)
+        self._build_tree_groups(links)
         self._build_data_tensors()
         self._build_moves()
         self._apply_move_overrides(move_overrides or {})
@@ -300,6 +301,37 @@ class Engine:
 
     # ------------------------------------------------------------------
     # static wiring
+
+    def _build_tree_groups(self, links):
+        """`unlink topology brlens` gives each link group its own tree
+        parameter (reference SetModelParams creates one tree param per
+        unlinked group, src/model.c:19026; DoLink/DoUnlink :2799).
+        Topology and branch lengths are tied to one tree per group: the
+        tree group is the refinement of the two link vectors.  With one
+        group the state keeps the flat [n_nodes] layout (no [1, ...]
+        axis), so the single-tree fast path is unchanged."""
+        self.n_trees = 1
+        self.div_tree = [0] * self.n_div
+        if self.best or not links:
+            return
+        tlink = links.get("topology")
+        blink = links.get("brlens")
+        if tlink is None and blink is None:
+            return
+        store: dict = {}
+        div_tree = []
+        for d in range(self.n_div):
+            key = (tlink[d] if tlink else 0, blink[d] if blink else 0)
+            if key not in store:
+                store[key] = len(store)
+            div_tree.append(store[key])
+        self.n_trees = len(store)
+        self.div_tree = div_tree
+        if self.n_trees > 1 and self.tree_settings.clock:
+            raise NotImplementedError(
+                "unlinked topologies are supported for non-clock trees "
+                "(clock analyses share one dated tree; use BEST/"
+                "speciestree for multi-gene clock models)")
 
     def _build_groups(self, div_settings, links):
         """Assign each sampled parameter of each division to a link group.
@@ -656,6 +688,7 @@ class Engine:
         self._pars_masks = jnp.asarray(np.concatenate(masks, axis=1))
         self._pars_factors = jnp.asarray(
             np.concatenate(factors), jnp.float32)
+        self._pars_per_div = list(zip(masks, factors))
 
     def _build_moves(self):
         from . import clock as C
@@ -852,40 +885,83 @@ class Engine:
                     partial(C.make_tip_date_move(tips, los, his), n_tips=n),
                     3.0, 0.0, tunable=False))
         else:
-            mk.append(MoveSpec("nni", partial(M.move_nni, n_tips=n), 5.0,
+            T = self.n_trees
+            if T > 1:
+                # unlinked topologies: each move touches one random tree
+                # slice of the stacked [T, n_nodes] arrays (same wrapper
+                # pattern as BEST gene trees)
+                TREE_FIELDS = ("left", "right", "parent", "blen")
+
+                def wrap(base):
+                    def mv(key, state, tuning, n_tips=n):
+                        kg, km = jax.random.split(key)
+                        g = jax.random.randint(kg, (), 0, T)
+                        sub = {f: state[f][g] for f in TREE_FIELDS}
+                        sub2, lnH = base(km, sub, tuning, n_tips)
+                        out = dict(state)
+                        for f in TREE_FIELDS:
+                            out[f] = state[f].at[g].set(sub2[f])
+                        return out, lnH
+                    return mv
+            else:
+                def wrap(base):
+                    return partial(base, n_tips=n)
+            mk.append(MoveSpec("nni", wrap(M.move_nni), 5.0,
                                0.0, tunable=False))
-            mk.append(MoveSpec("spr", partial(M.move_spr, n_tips=n), 5.0,
+            mk.append(MoveSpec("spr", wrap(M.move_spr), 5.0,
                                0.0, tunable=False))
             # the reference's workhorse topology moves: extending SPR
             # (Move_ExtSPR, default relprob 10-ish) and the subtree
             # swapper (Move_ExtSS)
-            mk.append(MoveSpec("ext_spr", partial(M.move_ext_spr, n_tips=n),
+            mk.append(MoveSpec("ext_spr", wrap(M.move_ext_spr),
                                10.0, 0.8, 0.25, 1, 0.05, 0.95))
             if n > 3:
                 # bisection moves need a true internal edge
-                mk.append(MoveSpec("ext_tbr",
-                                   partial(M.move_ext_tbr, n_tips=n),
+                mk.append(MoveSpec("ext_tbr", wrap(M.move_ext_tbr),
                                    5.0, 0.8, 0.25, 1, 0.05, 0.95))
-                mk.append(MoveSpec("local",
-                                   partial(M.move_local, n_tips=n),
+                mk.append(MoveSpec("local", wrap(M.move_local),
                                    2.0, 2.0 * np.log(1.6), 0.25, 1,
                                    1e-3, 20.0))
             mk.append(MoveSpec("subtree_swap",
-                               partial(M.move_subtree_swap, n_tips=n),
+                               wrap(M.move_subtree_swap),
                                2.0, 0.0, tunable=False))
-            mk.append(MoveSpec(
-                "pars_spr",
-                partial(M.make_pars_spr_move(self._pars_masks,
-                                             self._pars_factors), n_tips=n),
-                5.0, 0.1, 0.25, -1, 0.01, 1.0))
+            if T > 1:
+                for t in range(T):
+                    dm = [self._pars_per_div[i] for i in range(self.n_div)
+                          if self.div_tree[i] == t]
+                    pm = jnp.asarray(np.concatenate(
+                        [m for m, _ in dm], axis=1))
+                    pfac = jnp.asarray(
+                        np.concatenate([f for _, f in dm]), jnp.float32)
+
+                    def mk_tree_pars(t=t, pm=pm, pfac=pfac):
+                        base = M.make_pars_spr_move(pm, pfac)
+
+                        def mv(key, state, tuning, n_tips=n):
+                            sub = {f: state[f][t] for f in
+                                   ("left", "right", "parent", "blen")}
+                            sub2, lnH = base(key, sub, tuning, n_tips)
+                            out = dict(state)
+                            for f in ("left", "right", "parent", "blen"):
+                                out[f] = state[f].at[t].set(sub2[f])
+                            return out, lnH
+                        return mv
+                    mk.append(MoveSpec(f"pars_spr_t{t + 1}", mk_tree_pars(),
+                                       5.0 / T, 0.1, 0.25, -1, 0.01, 1.0))
+            else:
+                mk.append(MoveSpec(
+                    "pars_spr",
+                    wrap(M.make_pars_spr_move(self._pars_masks,
+                                              self._pars_factors)),
+                    5.0, 0.1, 0.25, -1, 0.01, 1.0))
             mk.append(MoveSpec("blen_mult",
-                               partial(M.move_blen_multiplier, n_tips=n),
+                               wrap(M.move_blen_multiplier),
                                15.0, 2.0 * np.log(1.6), 0.25, 1, 1e-3, 20.0))
             mk.append(MoveSpec("node_slider",
-                               partial(M.move_node_slider, n_tips=n),
+                               wrap(M.move_node_slider),
                                5.0, 0.0, tunable=False))
             mk.append(MoveSpec("treelen_mult",
-                               partial(M.move_treelen_multiplier, n_tips=n),
+                               wrap(M.move_treelen_multiplier),
                                2.0, 2.0 * np.log(1.6), 0.25, 1, 1e-3, 10.0))
         self._finish_moves(mk)
 
@@ -1191,23 +1267,33 @@ class Engine:
                     # ancestral-fossil flags; all fossils start as tips
                     st["sa"] = jnp.zeros((self.n_tips,), jnp.int32)
         else:
-            t = tree or self.start_tree
-            if t is None:
+            def draw():
+                t = tree or self.start_tree
+                if t is not None:
+                    return t
                 smasks = self._start_clade_masks()
                 if smasks or self.negative_masks is not None:
                     from ..trees import random_unrooted_constrained
-                    t = self._retry_negative(
+                    return self._retry_negative(
                         lambda: random_unrooted_constrained(
                             self.n_tips, rng, smasks, mean_blen=0.1),
                         lambda x: x)
-                else:
-                    t = random_unrooted(self.n_tips, rng, mean_blen=0.1)
-            st = {
-                "left": jnp.asarray(t.left), "right": jnp.asarray(t.right),
-                "parent": jnp.asarray(t.parent),
-                "blen": jnp.asarray(np.clip(t.blen, 0.0, M.BRLEN_MAX)
-                                    .astype(np.float32)),
-            }
+                return random_unrooted(self.n_tips, rng, mean_blen=0.1)
+
+            def arrays(t):
+                return {
+                    "left": jnp.asarray(t.left),
+                    "right": jnp.asarray(t.right),
+                    "parent": jnp.asarray(t.parent),
+                    "blen": jnp.asarray(np.clip(t.blen, 0.0, M.BRLEN_MAX)
+                                        .astype(np.float32)),
+                }
+
+            if self.n_trees > 1:
+                per = [arrays(draw()) for _ in range(self.n_trees)]
+                st = {k: jnp.stack([p[k] for p in per]) for k in per[0]}
+            else:
+                st = arrays(draw())
         self._init_substitution_state(st)
         return self.refresh_eigs(st)
 
@@ -1412,6 +1498,17 @@ class Engine:
             state = pin_sa_ages(state, self.n_tips)
             blen = clock_blens(state, self.n_tips,
                                self.tree_settings.clockvarpr)
+        elif self.n_trees > 1:
+            # unlinked topologies: each division prunes its own tree
+            total = jnp.float32(0.0)
+            for i in range(self.n_div):
+                ti = self.div_tree[i]
+                view = {**state, "left": state["left"][ti],
+                        "right": state["right"][ti],
+                        "parent": state["parent"][ti]}
+                total = total + self._division_lnL(view, i,
+                                                   state["blen"][ti])
+            return total
         else:
             blen = state["blen"]
         total = jnp.float32(0.0)
@@ -1576,22 +1673,32 @@ class Engine:
         mask[0] = False
         mask_j = jnp.asarray(mask)
         bp = self.tree_settings.brlenspr
-        if bp.kind == "gammadir":
-            a_t, b_t, a_f, c_i = bp.params
-            interior = np.zeros(self.n_nodes, bool)
-            interior[self.n_tips:] = True
-            lp = lp + brlens_gammadir_lpdf(
-                state["blen"], mask_j, a_t, b_t, a_f, c_i,
-                jnp.asarray(interior) if c_i != 1.0 else None)
-        elif bp.kind == "exponential":
-            lp = lp + brlens_exponential_lpdf(state["blen"], mask_j,
-                                              bp.params[0])
-        elif bp.kind == "uniform":
-            lp = lp + brlens_uniform_lpdf(state["blen"], mask_j,
-                                          bp.params[0], bp.params[1])
-        else:
+
+        def brlens_lp(blen):
+            if bp.kind == "gammadir":
+                a_t, b_t, a_f, c_i = bp.params
+                interior = np.zeros(self.n_nodes, bool)
+                interior[self.n_tips:] = True
+                return brlens_gammadir_lpdf(
+                    blen, mask_j, a_t, b_t, a_f, c_i,
+                    jnp.asarray(interior) if c_i != 1.0 else None)
+            if bp.kind == "exponential":
+                return brlens_exponential_lpdf(blen, mask_j, bp.params[0])
+            if bp.kind == "uniform":
+                return brlens_uniform_lpdf(blen, mask_j,
+                                           bp.params[0], bp.params[1])
             raise ValueError(f"brlenspr {bp.kind} not supported")
-        lp = lp + self._constraint_terms(state)
+
+        if self.n_trees > 1:
+            for t in range(self.n_trees):
+                lp = lp + brlens_lp(state["blen"][t])
+                view = {**state, "left": state["left"][t],
+                        "right": state["right"][t],
+                        "parent": state["parent"][t]}
+                lp = lp + self._constraint_terms(view)
+        else:
+            lp = lp + brlens_lp(state["blen"])
+            lp = lp + self._constraint_terms(state)
         lp = lp + self._grouped_params_prior(state)
         return lp
 
@@ -1923,7 +2030,8 @@ class Engine:
                     right=np.asarray(states["right"][slot, gene]),
                     blen=blen, n_tips=self.n_tips, rooted=True)
 
-    def effective_blens(self, states, slot: int) -> np.ndarray:
+    def effective_blens(self, states, slot: int,
+                        tree: int = 0) -> np.ndarray:
         """Substitution-unit branch lengths for one chain (host-side)."""
         if self.best:
             age = np.asarray(states["s_age"][slot], np.float64)
@@ -1931,6 +2039,8 @@ class Engine:
             return np.where(parent >= 0,
                             age[np.maximum(parent, 0)] - age, 0.0)
         if not self.tree_settings.clock:
+            if self.n_trees > 1:
+                return np.asarray(states["blen"][slot, tree], np.float64)
             return np.asarray(states["blen"][slot], np.float64)
         from .clock import clock_blens, pin_sa_ages
         sub = jax.tree.map(lambda x: x[slot], states)
@@ -1939,7 +2049,7 @@ class Engine:
             clock_blens(sub, self.n_tips, self.tree_settings.clockvarpr),
             np.float64)
 
-    def extract_tree(self, states, slot: int) -> Tree:
+    def extract_tree(self, states, slot: int, tree: int = 0) -> Tree:
         if self.best:
             return Tree(
                 parent=np.asarray(states["s_parent"][slot]),
@@ -1947,6 +2057,13 @@ class Engine:
                 right=np.asarray(states["s_right"][slot]),
                 blen=self.effective_blens(states, slot),
                 n_tips=self.n_species, rooted=True)
+        if self.n_trees > 1:
+            return Tree(
+                parent=np.asarray(states["parent"][slot, tree]),
+                left=np.asarray(states["left"][slot, tree]),
+                right=np.asarray(states["right"][slot, tree]),
+                blen=self.effective_blens(states, slot, tree),
+                n_tips=self.n_tips, rooted=False)
         return Tree(
             parent=np.asarray(states["parent"][slot]),
             left=np.asarray(states["left"][slot]),

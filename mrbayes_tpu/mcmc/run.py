@@ -36,8 +36,18 @@ def param_columns(eng: Engine):
             return "{all}"
         return "{" + ",".join(map(str, divs)) + "}"
 
-    cols.append(("TL" + ("{all}" if multi else ""),
-                 lambda st, s: float(np.sum(eng.effective_blens(st, s)))))
+    if getattr(eng, "n_trees", 1) > 1:
+        # one TL column per unlinked tree, tagged with its divisions
+        # (reference prints TL{divs} per brlens param)
+        for t in range(eng.n_trees):
+            divs = [i + 1 for i in range(n_div) if eng.div_tree[i] == t]
+            cols.append(("TL{" + ",".join(map(str, divs)) + "}",
+                         lambda st, s, t=t: float(np.sum(
+                             eng.effective_blens(st, s, t)))))
+    else:
+        cols.append(("TL" + ("{all}" if multi else ""),
+                     lambda st, s: float(np.sum(
+                         eng.effective_blens(st, s)))))
     ts = eng.tree_settings
     if getattr(eng, "best", False):
         root = 2 * eng.n_species - 2
@@ -172,7 +182,9 @@ class McmcRunner:
         self.prefix = file_prefix or self.mc.filename
         self.log = log
         self.cols = param_columns(engine)
-        self.splits = SplitCounter(self.mc.nruns)
+        self.n_trees = getattr(engine, "n_trees", 1)
+        self.splits = [SplitCounter(self.mc.nruns)
+                       for _ in range(self.n_trees)]
         self.param_samples: list[list[dict]] = [
             [] for _ in range(self.mc.nruns)]
         self.asdsf_series: list[tuple[int, float]] = []
@@ -210,8 +222,18 @@ class McmcRunner:
             for r in range(self.mc.nruns):
                 base = f"{self.prefix}.run{r + 1}"
                 self._truncate_after(base + ".p", start_gen, False)
-                self._truncate_after(base + ".t", start_gen, True)
+                for path in self._tree_paths(r):
+                    self._truncate_after(path, start_gen, True)
         return self._open_files_raw(append)
+
+    def _tree_paths(self, r: int) -> list[str]:
+        """Tree-sample file names for run r: one per tree parameter
+        (reference naming <file>.tree<i>.run<r>.t for unlinked
+        topologies, src/mcmc.c:10510)."""
+        if self.n_trees > 1:
+            return [f"{self.prefix}.tree{t + 1}.run{r + 1}.t"
+                    for t in range(self.n_trees)]
+        return [f"{self.prefix}.run{r + 1}.t"]
 
     def _open_files_raw(self, append: bool):
         mode = "a" if append else "w"
@@ -227,17 +249,17 @@ class McmcRunner:
                 f.write(f"       {i + 1} {name}{sep}\n")
 
         for r in range(self.mc.nruns):
-            base = f"{self.prefix}.run{r + 1}" if self.mc.nruns > 1 \
-                else f"{self.prefix}.run1"
+            base = f"{self.prefix}.run{r + 1}"
             pf = open(base + ".p", mode)
-            tf = open(base + ".t", mode)
+            tfs = [open(path, mode) for path in self._tree_paths(r)]
             if not append:
                 pf.write(f"[ID: {seed_id:010d}]\n")
                 pf.write("Gen\tlnLike\tlnPrior\t"
                          + "\t".join(n for n, _ in self.cols) + "\n")
-                tree_header(tf, self.eng.tree_taxa_labels)
+                for tf in tfs:
+                    tree_header(tf, self.eng.tree_taxa_labels)
             self.pf.append(pf)
-            self.tf.append(tf)
+            self.tf.append(tfs)
             if getattr(self.eng, "best", False):
                 # sampled gene trees per partition (the reference samples
                 # each gene tree to its own .t file in BEST runs)
@@ -261,17 +283,18 @@ class McmcRunner:
             self.pf[r].write(
                 f"{gen}\t{lnL:.6e}\t{lnP:.6e}\t"
                 + "\t".join(f"{v:.6e}" for v in vals) + "\n")
-            t = self.eng.extract_tree(states, slot)
-            rooted_tag = "&R" if t.rooted else "&U"
-            self.tf[r].write(
-                f"   tree gen.{gen} = [{rooted_tag}] "
-                + to_newick(t, numbers=True) + "\n")
+            for t_i in range(self.n_trees):
+                t = self.eng.extract_tree(states, slot, t_i)
+                rooted_tag = "&R" if t.rooted else "&U"
+                self.tf[r][t_i].write(
+                    f"   tree gen.{gen} = [{rooted_tag}] "
+                    + to_newick(t, numbers=True) + "\n")
+                self.splits[t_i].add(r, t)
             if self.gf:
                 for g, gtf in enumerate(self.gf[r]):
                     gt = self.eng.extract_gene_tree(states, slot, g)
                     gtf.write(f"   tree gen.{gen} = [&R] "
                               + to_newick(gt, numbers=True) + "\n")
-            self.splits.add(r, t)
             self.param_samples[r].append(
                 dict(zip(["Gen", "lnLike", "lnPrior"]
                          + [n for n, _ in self.cols],
@@ -372,7 +395,8 @@ class McmcRunner:
             if mc.checkfreq and gen % mc.checkfreq == 0:
                 self.write_checkpoint(states, bk, gen)
         self.write_checkpoint(states, bk, gen)
-        for f in self.pf + self.tf + [g for gs in self.gf for g in gs]:
+        for f in (self.pf + [t for ts in self.tf for t in ts]
+                  + [g for gs in self.gf for g in gs]):
             f.write("end;\n" if f.name.endswith(".t") else "")
             f.close()
         self.mcmcf.close()
@@ -393,7 +417,8 @@ class McmcRunner:
         the post-burn-in window, src/mcmc.c:1750)."""
         mc = self.mc
         burn = mc.burninfrac if mc.relburnin else 0.0
-        return self.splits.asdsf(mc.minpartfreq, burn_frac=burn)
+        return max(sc.asdsf(mc.minpartfreq, burn_frac=burn)
+                   for sc in self.splits)
 
     def _print_move_summary(self, bk):
         tries = np.asarray(bk["tries_total"]).sum(0)

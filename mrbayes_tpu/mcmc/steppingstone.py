@@ -85,7 +85,7 @@ class SsRunner(McmcRunner):
                          f"running lnZ = "
                          + " ".join(f"{z:.2f}" for z in lnZ))
         ssf.close()
-        for f in self.pf + self.tf:
+        for f in self.pf + [t for ts in self.tf for t in ts]:
             f.write("end;\n" if f.name.endswith(".t") else "")
             f.close()
         self.mcmcf.close()

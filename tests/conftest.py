@@ -6,6 +6,9 @@ import os
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "")
     + " --xla_force_host_platform_device_count=8")
+# XLA:CPU executable serialization segfaults on this fleet; the
+# persistent cache is TPU-only (see mrbayes_tpu._enable_compile_cache)
+os.environ["MB_TPU_NO_CACHE"] = "1"
 
 import jax  # noqa: E402  (may be pre-imported by sitecustomize)
 

@@ -1,0 +1,138 @@
+"""Reference CI envelope checker (testing/runtests.sh.in:82-161).
+
+Runs the test1.nex / test2.nex configurations (primates.nex, 20k
+generations, 2 runs x 4 chains) through the CLI and asserts the
+reference's statistical envelopes:
+
+  * cold-chain best lnL   in [-5715, -5700]
+  * posterior mean TL     in [0.95, 1.2]
+  * final ASDSF           <  0.05
+  * average PSRF          in [0.95, 1.2]
+
+Invoked two ways: directly (``python tests/envelope_check.py [test2]``)
+on the real TPU to record BASELINE.md numbers, and via
+test_envelope.py (env-gated) on the CPU mesh.
+"""
+import os
+import sys
+import time
+
+
+TEST1 = """
+#NEXUS
+begin mrbayes;
+    set autoclose=yes nowarn=yes;
+    execute /root/reference/examples/primates.nex;
+    partition test = 2: 1-400, 401-.;
+    set partition=test;
+    lset applyto=(all) nst=mixed rates=invgamma;
+    unlink statefreq=(all) revmat=(all) pinvar=(all) shape=(all);
+    prset applyto=(all) ratepr=variable;
+    mcmc ngen=20000 nruns=2 nchains=4 samplefreq=100 printfreq=2000
+         diagnfreq=2000 file={prefix};
+    sump;
+    sumt;
+end;
+"""
+
+# test2.nex: same data, IGR relaxed clock (testing/test2.nex)
+TEST2 = """
+#NEXUS
+begin mrbayes;
+    set autoclose=yes nowarn=yes;
+    execute /root/reference/examples/primates.nex;
+    partition test = 2: 1-400, 401-.;
+    set partition=test;
+    lset applyto=(all) nst=mixed rates=invgamma;
+    unlink statefreq=(all) revmat=(all) pinvar=(all) shape=(all);
+    prset brlenspr=clock:uniform clockratepr=exp(1) clockvarpr=igr;
+    mcmc ngen=20000 nruns=2 nchains=4 samplefreq=100 printfreq=2000
+         diagnfreq=2000 file={prefix};
+    sump;
+    sumt;
+end;
+"""
+
+
+def run_envelope(which: str = "test1", workdir: str = "/tmp/envelope"):
+    os.makedirs(workdir, exist_ok=True)
+    prefix = os.path.join(workdir, which)
+    nex = os.path.join(workdir, which + ".nex")
+    with open(nex, "w") as f:
+        f.write((TEST1 if which == "test1" else TEST2)
+                .format(prefix=prefix))
+    from mrbayes_tpu.cli import Interpreter
+    lines = []
+
+    def log(m):
+        lines.append(str(m))
+        print(m, flush=True)
+
+    t0 = time.time()
+    it = Interpreter(log=log)
+    it.execute_file(nex)
+    wall = time.time() - t0
+
+    # --- statistics from the sample files
+    import numpy as np
+
+    from mrbayes_tpu.mcmc.diagnostics import psrf
+    best_lnl = -np.inf
+    tl_all = []
+    runs_cols: list[dict] = []
+    for r in (1, 2):
+        with open(f"{prefix}.run{r}.p") as f:
+            f.readline()
+            header = f.readline().split("\t")
+            rows = np.array([[float(x) for x in ln.split("\t")]
+                             for ln in f if ln.strip()])
+        burn = len(rows) // 4
+        cols = {h.strip(): rows[:, i] for i, h in enumerate(header)}
+        runs_cols.append({h: v[burn:] for h, v in cols.items()})
+        best_lnl = max(best_lnl, float(cols["lnLike"].max()))
+        tl = cols.get("TL{all}", cols.get("TL"))
+        tl_all.append(tl[burn:])
+    tl_mean = float(np.mean(np.concatenate(tl_all)))
+
+    # PSRF across the two runs per numeric parameter (reference sump
+    # "Average PSRF for parameter values")
+    skip = {"Gen", "lnLike", "lnPrior"}
+    vals = []
+    for name in runs_cols[0]:
+        if name in skip or name.startswith("gtrsubmodel"):
+            continue
+        chains = np.stack([rc[name] for rc in runs_cols])
+        p = psrf(chains)
+        if np.isfinite(p) and p <= 10.0:
+            vals.append(float(p))
+    avg_psrf = float(np.mean(vals))
+
+    asdsf = None
+    for ln in reversed(lines):
+        if "standard deviation of split frequencies" in ln:
+            asdsf = float(ln.split(":")[-1])
+            break
+
+    stats = {"which": which, "best_lnl": best_lnl, "tl_mean": tl_mean,
+             "asdsf": asdsf, "avg_psrf": avg_psrf, "wall_s": wall,
+             "gens_per_sec": 20000 / wall}
+    print("ENVELOPE:", stats, flush=True)
+    errors = []
+    if not (-5715 <= best_lnl <= -5700):
+        errors.append(f"best lnL {best_lnl:.2f} outside [-5715, -5700]")
+    if not (0.95 <= tl_mean <= 1.2):
+        errors.append(f"TL mean {tl_mean:.3f} outside [0.95, 1.2]")
+    if asdsf is None or asdsf >= 0.05:
+        errors.append(f"ASDSF {asdsf} not < 0.05")
+    if not (0.95 <= avg_psrf <= 1.2):
+        errors.append(f"avg PSRF {avg_psrf:.3f} outside [0.95, 1.2]")
+    return stats, errors
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "test1"
+    stats, errors = run_envelope(which)
+    if errors:
+        print("ENVELOPE FAILURES:", errors)
+        sys.exit(1)
+    print("ENVELOPE OK")
