@@ -63,5 +63,86 @@ def main():
     return 0
 
 
+EXAMPLES = "/root/reference/examples"
+
+# BASELINE.json configs 2-5 (the headline primates config is `main`).
+# Each entry: (name, setup commands executed through the NEXUS front
+# end, runs, chains, lnL floor for the post-warmup sanity check).
+ALL_CONFIGS = [
+    ("kim_gtr_ig",
+     f"execute {EXAMPLES}/kim.nex; lset nst=6 rates=invgamma;",
+     1, 4, None),
+    ("finch_gtr_ig",
+     f"execute {EXAMPLES}/finch.nex; lset nst=6 rates=invgamma;",
+     1, 4, None),
+    ("codon_m0_61state",
+     f"execute {EXAMPLES}/replicase.nex; lset nucmodel=codon;",
+     1, 4, None),
+    ("codon_ny98_61state",
+     f"execute {EXAMPLES}/replicase.nex; lset nucmodel=codon "
+     "omegavar=ny98;",
+     1, 4, None),
+    ("hymfossil_rjmcmc_partitioned",
+     f"execute {EXAMPLES}/hymfossil.nex; "
+     "lset applyto=(2,3,4,5,6,7) nst=mixed;",
+     1, 4, None),
+    ("avian_2x32_chains",
+     f"execute {EXAMPLES}/avian_ovomucoids.nex; "
+     "lset nst=6 rates=invgamma;",
+     2, 32, None),
+]
+
+
+def bench_all():
+    """Measure BASELINE.json configs 2-5; one JSON line per config plus
+    a BENCH_ALL.json artifact.  lnl_evals_per_sec = gens/s x chains (one
+    full-tree likelihood recompute per chain per generation — unlike the
+    reference, which skips untouched subtrees)."""
+    import time as _time
+
+    import numpy as np
+
+    from mrbayes_tpu.cli import Interpreter
+    from mrbayes_tpu.mcmc.settings import McmcSettings
+
+    results = []
+    for name, setup, nruns, nchains, floor in ALL_CONFIGS:
+        it = Interpreter(log=lambda m: None)
+        for cmd in setup.split(";"):
+            cmd = cmd.strip()
+            if cmd:
+                it.run_line(cmd, base_dir=".")
+        it.env.mcmc = McmcSettings(nruns=nruns, nchains=nchains, seed=3,
+                                   ngen=1000)
+        eng = it.build_engine()
+        states, bk = eng.init_chains()
+        block = 100
+        states, bk = eng.run_block(states, bk, block)   # compile+warmup
+        states["lnL"].block_until_ready()
+        t0 = _time.time()
+        blocks = 5
+        for _ in range(blocks):
+            states, bk = eng.run_block(states, bk, block)
+        states["lnL"].block_until_ready()
+        dt = _time.time() - t0
+        rate = block * blocks / dt
+        patterns = sum(d.npat for d in eng.data.divisions)
+        rec = {
+            "config": name,
+            "gens_per_sec": round(rate, 1),
+            "chains": nruns * nchains,
+            "lnl_evals_per_sec": round(rate * nruns * nchains, 1),
+            "taxa": eng.n_tips,
+            "site_patterns": patterns,
+            "pallas": all(p is not None for p in eng._pruners),
+            "best_lnl": float(np.max(np.asarray(states["lnL"]))),
+        }
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+    with open("BENCH_ALL.json", "w") as f:
+        json.dump(results, f, indent=1)
+    return 0
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(bench_all() if "--all" in sys.argv else main())

@@ -36,6 +36,19 @@ def make_mesh(n_chain_shards: int, n_site_shards: int = 1,
     return Mesh(grid, ("chains", "sites"))
 
 
+def put_global(x, sharding):
+    """Place host data under a (possibly multi-process) sharding.  With
+    one process this is jax.device_put; with several, every process
+    holds the identical full host value (same seeds everywhere — the
+    reference broadcasts its seeds for the same reason, src/bayes.c:499)
+    and contributes its addressable shards."""
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    x = np.asarray(x)
+    return jax.make_array_from_callback(x.shape, sharding,
+                                        lambda idx: x[idx])
+
+
 def _pad_to_multiple(x: np.ndarray, axis: int, m: int):
     n = x.shape[axis]
     pad = (-n) % m
@@ -58,10 +71,10 @@ def shard_engine_data(eng: Engine, mesh: Mesh) -> None:
         tp_h, _ = _pad_to_multiple(np.asarray(tp), 1, n_shards)
         w_h, _ = _pad_to_multiple(np.asarray(w), 0, n_shards)
         cm_h, _ = _pad_to_multiple(np.asarray(cm), 0, n_shards)
-        tps.append(jax.device_put(
+        tps.append(put_global(
             tp_h, NamedSharding(mesh, P(None, "sites", None))))
-        ws.append(jax.device_put(w_h, NamedSharding(mesh, P("sites"))))
-        cms.append(jax.device_put(
+        ws.append(put_global(w_h, NamedSharding(mesh, P("sites"))))
+        cms.append(put_global(
             cm_h, NamedSharding(mesh, P("sites", None))))
     eng.tip_partials, eng.weights, eng.const_masks = tps, ws, cms
 
@@ -76,17 +89,17 @@ def shard_chains(eng: Engine, mesh: Mesh, states: dict, bk: dict):
 
     def place_state(x):
         if x.ndim >= 1 and x.shape[0] == eng.mcmc.n_chains_total:
-            return jax.device_put(x, chain_sharded)
-        return jax.device_put(x, replicated)
+            return put_global(x, chain_sharded)
+        return put_global(x, replicated)
 
     states = jax.tree.map(place_state, states)
     bk_out = {}
     for k, v in bk.items():
         if k in ("tuning", "tries", "accepts", "tries_total",
                  "accepts_total"):
-            bk_out[k] = jax.device_put(v, chain_sharded)
+            bk_out[k] = put_global(v, chain_sharded)
         else:
-            bk_out[k] = jax.device_put(v, replicated)
+            bk_out[k] = put_global(v, replicated)
     return states, bk_out
 
 
