@@ -567,7 +567,7 @@ class Interpreter:
 
     LSET_KEYS = ("applyto", "nst", "rates", "ngammacat", "nucmodel", "code",
                  "covarion", "coding", "omegavar", "parsmodel", "nbetacat",
-                 "usegibbs", "gibbsfreq")
+                 "nmixtcat", "usegibbs", "gibbsfreq")
 
     def do_lset(self, args, base_dir):
         pairs = self._kv_pairs(args)
@@ -595,7 +595,10 @@ class Interpreter:
                     s.coding = v
                 elif key == "omegavar":
                     s.omegavar = v
-                # parsmodel/omegavar etc: accepted, wired in later rounds
+                elif key == "parsmodel":
+                    s.parsmodel = v.startswith("y")
+                elif key == "nmixtcat":
+                    s.nmixtcat = int(v)
 
     PRSET_KEYS = ("applyto", "statefreqpr", "revmatpr", "tratiopr",
                   "shapepr", "pinvarpr", "ratecorrpr", "covswitchpr",

@@ -269,6 +269,44 @@ def ln_birthdeath(age, n_tips: int, net_div, turnover, samp_frac: float,
     return lp + treeage_lpdf(t1)
 
 
+def ln_birthdeath_strat(age, n_tips: int, net_div, turnover,
+                        samp_frac: float, treeage_lpdf,
+                        strategy: str = "random") -> jnp.ndarray:
+    """Birth-death prior with the reference's three sampling strategies
+    (LnBirthDeathPriorPr dispatch, src/mcmc.c:8357): 'random' rho-
+    sampling (Eq.3*A0 of Hohna et al. 2011), 'diversity' (Eq.A1,
+    src/mcmc.c:8484) keeps the n most divergent of m species, 'cluster'
+    (Eq.A2, src/mcmc.c:8556) one densely sampled subclade."""
+    if strategy == "random":
+        return ln_birthdeath(age, n_tips, net_div, turnover, samp_frac,
+                             treeage_lpdf)
+    root = 2 * n_tips - 2
+    eps = 1e-6
+    eR = jnp.clip(turnover, eps, 1.0 - eps)
+    lam = net_div / (1.0 - eR)
+    mu = eR * lam
+    n = float(n_tips)
+    m = float(round(n_tips / samp_frac))
+    t1 = jnp.maximum(age[root], 1e-20)
+    internal_ages = age[n_tips:root]
+    ln_p0_t1 = _ln_p0(t1, lam, mu)
+    lp = (m - 2.0) * (ln_p0_t1 + jnp.log(lam)) + (n - m) * jnp.log(mu)
+    lp = lp + 2.0 * (_ln_p1(t1, lam, mu)
+                     - jnp.log(1.0 - jnp.exp(ln_p0_t1)))
+    if strategy == "diversity":
+        nt_min = jnp.min(internal_ages)
+        lp = lp + (m - n) * (_ln_p0(nt_min, lam, mu) - ln_p0_t1)
+    elif strategy == "cluster":
+        nt_2 = jnp.max(internal_ages)
+        lp = lp + (m - n) * jnp.log(
+            1.0 - jnp.exp(_ln_p0(nt_2, lam, mu)) / jnp.exp(ln_p0_t1))
+    else:
+        raise ValueError(f"unknown BD sampling strategy {strategy}")
+    lp = lp + jnp.sum(jax.vmap(
+        lambda t: _ln_p1(t, lam, mu) - ln_p0_t1)(internal_ages))
+    return lp + treeage_lpdf(t1)
+
+
 def ln_coalescence(age, n_tips: int, theta, growth=0.0,
                    clockrate=1.0) -> jnp.ndarray:
     """Kingman coalescent (+ exponential growth) on coalescence times in

@@ -73,6 +73,8 @@ class DivCfg:
     fixed_covswitch: np.ndarray | None = None  # covswitchpr=fixed(s01,s10)
     doublet: bool = False         # nucmodel=doublet (16-state stem pairs)
     ratecorr_group: int = -1      # rates=adgamma autocorrelation rho
+    mixt_group: int = -1          # rates=kmixture sampled category rates
+    parsimony: bool = False       # lset parsmodel=yes (Tuffley-Steel)
 
 
 def _scalar_prior_lpdf(prior: Prior, x):
@@ -355,6 +357,14 @@ class Engine:
 
         for d, (div, s) in enumerate(zip(self.data.divisions, div_settings)):
             cfg = DivCfg(div=div, settings=s)
+            if s.parsmodel:
+                # Tuffley-Steel parsimony model: no substitution
+                # parameters (reference lset parsmodel=yes,
+                # Likelihood_Pars src/likelihood.c:7593)
+                cfg.parsimony = True
+                cfg.fixed_pi = np.full(div.n_states, 1.0 / div.n_states)
+                self.div_cfg.append(cfg)
+                continue
             is_nuc = div.dtype in (DataType.DNA, DataType.RNA)
             is_prot = div.dtype is DataType.PROTEIN
             if is_nuc and s.nucmodel == "codon":
@@ -449,6 +459,15 @@ class Engine:
                     raise ValueError("adgamma+covarion not supported")
                 cfg.ratecorr_group = group_of("ratecorr", d,
                                               repr(s.adgammacorpr))
+            if s.rates == "kmixture":
+                # sampled k-component site-rate mixture (reference
+                # P_MIXTURE_RATES, src/model.c:19813; the rates are kept
+                # exchangeable — the mixture likelihood is symmetric, so
+                # the unordered Dirichlet parameterization samples the
+                # same posterior as the reference's order statistic)
+                cfg.mixt_group = group_of(
+                    "mixtrates", d, repr(("kmix", s.nmixtcat)))
+                cfg.n_cats = s.nmixtcat
             if cfg.pi_group < 0 and cfg.fixed_pi is None:
                 cfg.fixed_pi = np.full(div.n_states, 1.0 / div.n_states)
             if s.covarion and (is_prot or (is_nuc and s.nucmodel == "4by4")):
@@ -484,7 +503,9 @@ class Engine:
                                    ("covswitch", cfg.covswitch_group,
                                     s.covswitchpr),
                                    ("ratecorr", cfg.ratecorr_group,
-                                    s.adgammacorpr)]:
+                                    s.adgammacorpr),
+                                   ("mixtrates", cfg.mixt_group,
+                                    Prior("dirichlet", (1.0,)))]:
                 if gid >= 0:
                     self.group_priors.setdefault((param, gid), pr)
             if cfg.ny98_group >= 0:
@@ -844,6 +865,14 @@ class Engine:
                     partial(M.make_multiplier_move("popsize", 1e-6, 1e8),
                             n_tips=n), 1.5, 2.0 * np.log(1.6), 0.25, 1,
                     1e-3, 20.0))
+                if ts.growthpr.kind != "fixed":
+                    # sampled exponential-growth rate (reference
+                    # Move_Growth, src/proposal.c:5650)
+                    mk.append(MoveSpec(
+                        "growth_slider",
+                        partial(M.make_slider_move("growth", -1e3, 1e3),
+                                n_tips=n), 1.5, 1.0, 0.25, 1,
+                        1e-3, 100.0))
             if ts.clockpr == "fossilization":
                 # d/r/s parameterization moves (reference Move_Speciation
                 # src/proposal.c:15961, Move_Extinction :1800,
@@ -1088,6 +1117,11 @@ class Engine:
                                2.0, 10.0, 0.25, -1, 0.5, 1e4))
             mk.append(MoveSpec("revmat_dirmix", mv_dirmix,
                                2.0, 200.0, 0.25, -1, 1.0, 1e5))
+        if self.n_groups.get("mixtrates"):
+            mk.append(MoveSpec(
+                "mixtrates_dir",
+                partial(M.make_simplex_move("mixtrates"), n_tips=n),
+                1.5, 100.0, 0.25, -1, 1.0, 1e5))
         if self.n_groups.get("ratecorr"):
             mk.append(MoveSpec(
                 "ratecorr_slider",
@@ -1259,6 +1293,8 @@ class Engine:
                 st["extinction"] = jnp.asarray([0.5], jnp.float32)
             if ts.clockpr == "coalescence":
                 st["popsize"] = jnp.asarray([1.0], jnp.float32)
+                if ts.growthpr.kind != "fixed":
+                    st["growth"] = jnp.zeros((1,), jnp.float32)
             if ts.clockpr == "fossilization":
                 st["speciation"] = jnp.asarray([0.1], jnp.float32)
                 st["extinction"] = jnp.asarray([0.5], jnp.float32)
@@ -1332,6 +1368,13 @@ class Engine:
             st["covswitch"] = jnp.ones((self.n_groups["covswitch"], 2))
         if self.n_groups.get("ratecorr"):
             st["ratecorr"] = jnp.zeros((self.n_groups["ratecorr"],))
+        if self.n_groups.get("mixtrates"):
+            ks = {c.n_cats for c in self.div_cfg if c.mixt_group >= 0}
+            if len(ks) > 1:
+                raise ValueError("kmixture groups must share nmixtcat")
+            k = ks.pop()
+            st["mixtrates"] = jnp.full(
+                (self.n_groups["mixtrates"], k), 1.0 / k)
         if self.n_groups.get("revmat"):
             st["revmat"] = jnp.full((self.n_groups["revmat"], 6), 1.0 / 6)
             if self._mixed_rev:
@@ -1468,6 +1511,8 @@ class Engine:
                     self.div_cfg[i].fixed_covswitch is not None:
                 continue   # covarion eigensystems are rate-dependent and
                            # rebuilt inline in _covarion_loglik
+            if self.div_cfg[i].parsimony:
+                continue   # Tuffley-Steel: no Q matrix
             lam, U, Uinv = self._division_eig(state, i)
             out[f"eigL{i}"] = lam
             out[f"eigU{i}"] = U
@@ -1519,6 +1564,8 @@ class Engine:
     def _division_lnL(self, state, i, blen):
         cfg = self.div_cfg[i]
         s = cfg.settings
+        if cfg.parsimony:
+            return self._pars_lnL(state, i, cfg)
         pi = (state[cfg.pi_field][cfg.pi_group] if cfg.pi_group >= 0
               else jnp.asarray(cfg.fixed_pi, jnp.float32))
         if cfg.codon is not None:
@@ -1545,6 +1592,9 @@ class Engine:
         elif s.rates == "lnorm":
             rates = discrete_lognormal(state["shape"][cfg.shape_group],
                                        cfg.n_cats)
+        elif s.rates == "kmixture":
+            # simplex x K = rates with mean 1 across equal-weight cats
+            rates = state["mixtrates"][cfg.mixt_group] * cfg.n_cats
         else:
             rates = jnp.ones((1,))
         pinv = (state["pinvar"][cfg.pinvar_group]
@@ -1563,6 +1613,36 @@ class Engine:
             blen, self.tip_partials[i], self.weights[i],
             lam, U, Uinv, pi, rates, pinv, cmask, self.n_tips,
             rate_mult=mult, coding=coding, pruner=self._pruners[i])
+
+    def _pars_lnL(self, state, i, cfg: DivCfg):
+        """Tuffley-Steel (1997) parsimony-model likelihood:
+        lnL = -(T + n) log k with T the weighted Fitch tree length
+        (reference Likelihood_Pars, src/likelihood.c:7593; the basal
+        node's extra tip-0 comparison is the root step of our rooted-at-
+        tip-0 layout, :7640-7655)."""
+        from ..ops.traversal import postorder_internal
+        masks, _ = self._pars_per_div[i]
+        w = jnp.asarray(cfg.div.weights, jnp.float32)
+        masks_j = jnp.asarray(masks)
+        n_tips = self.n_tips
+        n_nodes = 2 * n_tips - 1
+        left, right = state["left"], state["right"]
+        F = jnp.zeros((n_nodes, masks.shape[1]), jnp.uint32)
+        F = F.at[:n_tips].set(masks_j)
+        order = postorder_internal(state["parent"], n_tips)
+
+        def fstep(carry, v):
+            F, T = carry
+            a, b = F[left[v]], F[right[v]]
+            inter = a & b
+            T = T + jnp.sum(jnp.where(inter == 0, w, 0.0))
+            F = F.at[v].set(jnp.where(inter > 0, inter, a | b))
+            return (F, T), None
+
+        (F, T), _ = jax.lax.scan(fstep, (F, jnp.float32(0.0)), order)
+        n_chars = float(cfg.div.weights.sum())
+        k = max(2, cfg.div.n_states)
+        return -(T + n_chars) * np.log(float(k))
 
     def _covarion_loglik(self, state, i, cfg: DivCfg, blen):
         """Tuffley-Steel covarion likelihood: doubled state space, one
@@ -1710,7 +1790,8 @@ class Engine:
                 symdir = pr.params[0] if pr.params else 1.0
                 lp = lp + ln_prior_mixed(state["gtr_class"][gid],
                                          state["revmat"][gid], symdir)
-            elif param in ("pi", "pi20", "pi2", "pi61", "pi16", "revmat"):
+            elif param in ("pi", "pi20", "pi2", "pi61", "pi16", "revmat",
+                           "mixtrates"):
                 x = state[param][gid]
                 alpha = jnp.full(x.shape, pr.params[0] if pr.params else 1.0)
                 lp = lp + dirichlet_lpdf(x, alpha)
@@ -1826,18 +1907,26 @@ class Engine:
         elif ts.clockpr == "uniform":
             lp = C.ln_uniform_clock(state["age"], n, treeage_lpdf)
         elif ts.clockpr == "birthdeath":
-            lp = C.ln_birthdeath(state["age"], n, state["speciation"][0],
-                                 state["extinction"][0], ts.sampleprob,
-                                 treeage_lpdf)
+            strat = (ts.samplestrat if ts.samplestrat in
+                     ("random", "diversity", "cluster") else "random")
+            lp = C.ln_birthdeath_strat(
+                state["age"], n, state["speciation"][0],
+                state["extinction"][0], ts.sampleprob, treeage_lpdf,
+                strategy=strat)
             lp = lp + _scalar_prior_lpdf(ts.speciationpr,
                                          state["speciation"][0])
             lp = lp + _scalar_prior_lpdf(ts.extinctionpr,
                                          state["extinction"][0])
         elif ts.clockpr == "coalescence":
-            growth = (ts.growthpr.params[0]
-                      if ts.growthpr.kind == "fixed" else 0.0)
-            lp = C.ln_coalescence(state["age"], n, state["popsize"][0],
-                                  growth, cr)
+            if "growth" in state:
+                growth = state["growth"][0]
+                lp = _scalar_prior_lpdf(ts.growthpr, growth)
+            else:
+                growth = (ts.growthpr.params[0]
+                          if ts.growthpr.params else 0.0)
+                lp = jnp.float32(0.0)
+            lp = lp + C.ln_coalescence(state["age"], n,
+                                       state["popsize"][0], growth, cr)
             lp = lp + _scalar_prior_lpdf(ts.popsizepr, state["popsize"][0])
         else:
             raise ValueError(f"clockpr {ts.clockpr} not supported yet")

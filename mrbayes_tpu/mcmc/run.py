@@ -93,6 +93,9 @@ def param_columns(eng: Engine):
                          lambda st, s: float(st["extinction"][s, 0])))
         if ts.clockpr == "coalescence":
             cols.append(("theta", lambda st, s: float(st["popsize"][s, 0])))
+            if ts.growthpr.kind != "fixed":
+                cols.append(("growthRate",
+                             lambda st, s: float(st["growth"][s, 0])))
         if ts.clockpr == "fossilization":
             cols.append(("net_speciation",
                          lambda st, s: float(st["speciation"][s, 0])))
@@ -151,6 +154,14 @@ def param_columns(eng: Engine):
     for gid in range(eng.n_groups.get("shape", 0)):
         cols.append(("alpha" + suffix("shape", gid),
                      lambda st, s, g=gid: float(st["shape"][s, g])))
+    for gid in range(eng.n_groups.get("mixtrates", 0)):
+        kmix = next(c.n_cats for c in eng.div_cfg if c.mixt_group == gid)
+        for k in range(kmix):
+            # stored as a simplex; printed as rates with mean 1
+            # (reference mixturerates columns, src/model.c:19830)
+            cols.append((f"mixturerates{suffix('mixt', gid)}[{k + 1}]",
+                         lambda st, s, g=gid, k=k, km=kmix:
+                         float(st["mixtrates"][s, g, k]) * km))
     for gid in range(eng.n_groups.get("ratecorr", 0)):
         cols.append(("corr" + suffix("ratecorr", gid),
                      lambda st, s, g=gid: float(st["ratecorr"][s, g])))

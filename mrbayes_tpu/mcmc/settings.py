@@ -19,8 +19,11 @@ class DivisionSettings:
     """Per-division model settings (lset + prset)."""
     # lset
     nst: str = "1"                    # "1" | "2" | "6" | "mixed"
-    rates: str = "equal"              # equal|gamma|propinv|invgamma|lnorm
+    rates: str = "equal"   # equal|gamma|propinv|invgamma|lnorm|adgamma|
+                           # kmixture
     ngammacat: int = 4
+    nmixtcat: int = 4                 # rates=kmixture components
+    parsmodel: bool = False           # Tuffley-Steel parsimony model
     nucmodel: str = "4by4"            # 4by4|doublet|codon|protein
     code: str = "universal"
     covarion: bool = False
