@@ -599,6 +599,8 @@ class Interpreter:
                     s.parsmodel = v.startswith("y")
                 elif key == "nmixtcat":
                     s.nmixtcat = int(v)
+                elif key == "nbetacat":
+                    s.nbetacat = int(v)
 
     PRSET_KEYS = ("applyto", "statefreqpr", "revmatpr", "tratiopr",
                   "shapepr", "pinvarpr", "ratecorrpr", "covswitchpr",
@@ -652,6 +654,16 @@ class Interpreter:
                 elif key == "ratepr":
                     s.ratepr = ("variable" if prior.kind.startswith("var")
                                 or prior.kind == "dirichlet" else "fixed")
+                elif key == "symdirihyperpr":
+                    # fixed(infinity) = equal frequencies (the default);
+                    # fixed(b)/uniform(a,b)/exponential(r) activate the
+                    # symmetric-Dirichlet machinery
+                    if prior.kind == "fixed" and prior.params and \
+                            isinstance(prior.params[0], str):
+                        prior = Prior("fixed", (-1.0,))
+                    if prior.kind == "exp":
+                        prior = Prior("exponential", prior.params)
+                    s.symdirihyperpr = prior
                 elif key == "aamodelpr":
                     if prior.kind == "fixed" and prior.params:
                         s.aamodel = str(prior.params[0])

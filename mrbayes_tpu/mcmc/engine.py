@@ -75,6 +75,11 @@ class DivCfg:
     ratecorr_group: int = -1      # rates=adgamma autocorrelation rho
     mixt_group: int = -1          # rates=kmixture sampled category rates
     parsimony: bool = False       # lset parsmodel=yes (Tuffley-Steel)
+    symbeta_group: int = -1       # symdirihyperpr sampled beta (hyper)
+    fixed_symbeta: float = -1.0   # fixed finite beta; -1 = infinity/off
+    sympi_group: int = -1         # sampled multistate standard pi
+    sympi_field: str = ""         # state field name ("sympi<k>")
+    n_rate_cats: int = 1          # gamma cats (n_cats may fold beta cats)
 
 
 def _scalar_prior_lpdf(prior: Prior, x):
@@ -468,6 +473,33 @@ class Engine:
                 cfg.mixt_group = group_of(
                     "mixtrates", d, repr(("kmix", s.nmixtcat)))
                 cfg.n_cats = s.nmixtcat
+            cfg.n_rate_cats = cfg.n_cats
+            if div.dtype is DataType.STANDARD:
+                # symdirihyperpr: symmetric Dirichlet(beta) on standard
+                # state frequencies (reference symPiPr, src/model.c:6911;
+                # beta categories for binary chars via BetaBreaks
+                # src/model.c:12290, sampled pi for multistate)
+                sp = s.symdirihyperpr
+                fixed_b = (float(sp.params[0]) if sp.kind == "fixed"
+                           and sp.params else -1.0)
+                active = (sp.kind != "fixed") or fixed_b > 0.0
+                if active and div.ctype == "ordered":
+                    active = False      # ordered Mk keeps uniform pi
+                if active:
+                    if sp.kind != "fixed":
+                        cfg.symbeta_group = group_of("symbeta", d,
+                                                     repr(sp))
+                    else:
+                        cfg.fixed_symbeta = fixed_b
+                    if div.n_states == 2:
+                        # beta-category mixture folds into the category
+                        # axis alongside the gamma rate categories
+                        cfg.n_cats = cfg.n_rate_cats * s.nbetacat
+                    else:
+                        k = div.n_states
+                        cfg.sympi_field = f"sympi{k}"
+                        cfg.sympi_group = group_of(
+                            cfg.sympi_field, d, repr(sp) + str(k))
             if cfg.pi_group < 0 and cfg.fixed_pi is None:
                 cfg.fixed_pi = np.full(div.n_states, 1.0 / div.n_states)
             if s.covarion and (is_prot or (is_nuc and s.nucmodel == "4by4")):
@@ -505,7 +537,9 @@ class Engine:
                                    ("ratecorr", cfg.ratecorr_group,
                                     s.adgammacorpr),
                                    ("mixtrates", cfg.mixt_group,
-                                    Prior("dirichlet", (1.0,)))]:
+                                    Prior("dirichlet", (1.0,))),
+                                   ("symbeta", cfg.symbeta_group,
+                                    s.symdirihyperpr)]:
                 if gid >= 0:
                     self.group_priors.setdefault((param, gid), pr)
             if cfg.ny98_group >= 0:
@@ -621,9 +655,10 @@ class Engine:
         self._gamma_tables = {}
         self._adg_maps = {}
         for i, cfg in enumerate(self.div_cfg):
-            if cfg.settings.rates in ("gamma", "invgamma", "adgamma") \
-                    and cfg.n_cats not in self._gamma_tables:
-                self._gamma_tables[cfg.n_cats] = GammaRateTable(cfg.n_cats)
+            if cfg.settings.rates in ("gamma", "invgamma", "adgamma"):
+                for key in {cfg.n_cats, cfg.n_rate_cats or cfg.n_cats}:
+                    if key not in self._gamma_tables:
+                        self._gamma_tables[key] = GammaRateTable(key)
             if cfg.settings.rates == "adgamma":
                 # static site-order maps for the HMM: pattern index per
                 # site and the distance (jump) between successive sites
@@ -682,8 +717,9 @@ class Engine:
                 k = cfg.n_cats
                 coding = "all"
             else:
-                k = (cfg.n_cats if s.rates in ("gamma", "invgamma", "lnorm")
-                     else 1)
+                # cfg.n_cats is 1 unless a category axis exists (gamma/
+                # lnorm/kmixture rates, symdirihyperpr beta categories)
+                k = cfg.n_cats
                 coding = {"all": "all", "variable": "variable",
                           "noabsencesites": "noabsence",
                           "nopresencesites": "nopresence"}.get(s.coding,
@@ -1117,6 +1153,18 @@ class Engine:
                                2.0, 10.0, 0.25, -1, 0.5, 1e4))
             mk.append(MoveSpec("revmat_dirmix", mv_dirmix,
                                2.0, 200.0, 0.25, -1, 1.0, 1e5))
+        if self.n_groups.get("symbeta"):
+            mk.append(MoveSpec(
+                "symbeta_mult",
+                partial(M.make_multiplier_move("symbeta", 1e-2, 1e4),
+                        n_tips=n), 1.0, 2.0 * np.log(1.5), 0.25, 1,
+                1e-3, 20.0))
+        for field in sorted(self.n_groups):
+            if field.startswith("sympi"):
+                mk.append(MoveSpec(
+                    f"{field}_dir",
+                    partial(M.make_simplex_move(field), n_tips=n),
+                    1.5, 100.0, 0.25, -1, 1.0, 1e5))
         if self.n_groups.get("mixtrates"):
             mk.append(MoveSpec(
                 "mixtrates_dir",
@@ -1368,6 +1416,12 @@ class Engine:
             st["covswitch"] = jnp.ones((self.n_groups["covswitch"], 2))
         if self.n_groups.get("ratecorr"):
             st["ratecorr"] = jnp.zeros((self.n_groups["ratecorr"],))
+        if self.n_groups.get("symbeta"):
+            st["symbeta"] = jnp.ones((self.n_groups["symbeta"],))
+        for field, ng in self.n_groups.items():
+            if field.startswith("sympi"):
+                k = int(field[5:])
+                st[field] = jnp.full((ng, k), 1.0 / k)
         if self.n_groups.get("mixtrates"):
             ks = {c.n_cats for c in self.div_cfg if c.mixt_group >= 0}
             if len(ks) > 1:
@@ -1513,6 +1567,10 @@ class Engine:
                            # rebuilt inline in _covarion_loglik
             if self.div_cfg[i].parsimony:
                 continue   # Tuffley-Steel: no Q matrix
+            c = self.div_cfg[i]
+            if c.sympi_group >= 0 or c.symbeta_group >= 0 \
+                    or c.fixed_symbeta > 0:
+                continue   # symdiri: pi-dependent Q built inline
             lam, U, Uinv = self._division_eig(state, i)
             out[f"eigL{i}"] = lam
             out[f"eigU{i}"] = U
@@ -1566,6 +1624,9 @@ class Engine:
         s = cfg.settings
         if cfg.parsimony:
             return self._pars_lnL(state, i, cfg)
+        if cfg.sympi_group >= 0 or cfg.symbeta_group >= 0 \
+                or cfg.fixed_symbeta > 0:
+            return self._std_symdiri_loglik(state, i, cfg, blen)
         pi = (state[cfg.pi_field][cfg.pi_group] if cfg.pi_group >= 0
               else jnp.asarray(cfg.fixed_pi, jnp.float32))
         if cfg.codon is not None:
@@ -1643,6 +1704,63 @@ class Engine:
         n_chars = float(cfg.div.weights.sum())
         k = max(2, cfg.div.n_states)
         return -(T + n_chars) * np.log(float(k))
+
+    def _std_symdiri_loglik(self, state, i, cfg: DivCfg, blen):
+        """Standard/restriction data under symdirihyperpr: binary
+        characters integrate over nbetacat discretized symmetric-Beta
+        state-frequency categories (reference BetaBreaks fill,
+        src/model.c:12290); multistate characters use a sampled frequency
+        vector with a symmetric Dirichlet(beta) prior (reference
+        Move_StatefreqsSymDirMultistate, src/model.c:23171)."""
+        from ..models.special import beta_category_freqs
+        from ..models.substitution import binary_q, mk_q
+        from ..ops.tiprobs import eigh_reversible
+        s = cfg.settings
+        kst = cfg.div.n_states
+        coding = {"all": "all", "variable": "variable",
+                  "noabsencesites": "noabsence",
+                  "nopresencesites": "nopresence"}.get(s.coding, "all")
+        krate = cfg.n_rate_cats
+        if s.rates in ("gamma", "invgamma", "lnorm"):
+            if s.rates == "lnorm":
+                rates = discrete_lognormal(state["shape"][cfg.shape_group],
+                                           krate)
+            else:
+                rates = self._gamma_tables[krate](
+                    state["shape"][cfg.shape_group])
+        else:
+            rates = jnp.ones((krate,))
+        mult = 1.0
+        if self.ratemult_on:
+            mult = state["ratemult"][i] / self.div_char_frac[i]
+        if cfg.sympi_group >= 0:
+            pi = state[cfg.sympi_field][cfg.sympi_group]
+            Q = mk_q(kst, pi)
+            lam, U, Uinv = eigh_reversible(Q, pi)
+            return division_loglik(
+                state["left"], state["right"], state["parent"], blen,
+                self.tip_partials[i], self.weights[i], lam, U, Uinv, pi,
+                rates, 0.0, None, self.n_tips, rate_mult=mult,
+                coding=coding, pruner=self._pruners[i])
+        # binary beta-category mixture: fold beta cats into the category
+        # axis next to the rate categories
+        B = s.nbetacat
+        beta = (state["symbeta"][cfg.symbeta_group]
+                if cfg.symbeta_group >= 0
+                else jnp.float32(cfg.fixed_symbeta))
+        q = beta_category_freqs(beta, B)
+        pis = jnp.stack([q, 1.0 - q], axis=-1)          # [B, 2]
+        lam, U, Uinv = eigh_reversible(binary_q(pis), pis)
+        lam_f = jnp.repeat(lam, krate, axis=0)
+        U_f = jnp.repeat(U, krate, axis=0)
+        V_f = jnp.repeat(Uinv, krate, axis=0)
+        pi_f = jnp.repeat(pis, krate, axis=0)           # [B*K, 2]
+        rates_f = jnp.tile(rates, B)
+        return division_loglik(
+            state["left"], state["right"], state["parent"], blen,
+            self.tip_partials[i], self.weights[i], lam_f, U_f, V_f,
+            pi_f, rates_f, 0.0, None, self.n_tips, rate_mult=mult,
+            coding=coding, pruner=self._pruners[i])
 
     def _covarion_loglik(self, state, i, cfg: DivCfg, blen):
         """Tuffley-Steel covarion likelihood: doubled state space, one
@@ -1784,6 +1902,20 @@ class Engine:
 
     def _grouped_params_prior(self, state):
         lp = jnp.float32(0.0)
+        # multistate standard pi under symmetric Dirichlet(beta); beta is
+        # either fixed or the sampled symbeta hyperparameter (reference
+        # SYMPI_* paramIds, src/model.c:19813 area)
+        seen_sympi = set()
+        for cfg in self.div_cfg:
+            key = (cfg.sympi_field, cfg.sympi_group)
+            if cfg.sympi_group < 0 or key in seen_sympi:
+                continue
+            seen_sympi.add(key)
+            beta = (state["symbeta"][cfg.symbeta_group]
+                    if cfg.symbeta_group >= 0
+                    else jnp.float32(cfg.fixed_symbeta))
+            x = state[cfg.sympi_field][cfg.sympi_group]
+            lp = lp + dirichlet_lpdf(x, jnp.full(x.shape, beta))
         for (param, gid), pr in self.group_priors.items():
             if param == "revmat" and gid in self._mixed_rev:
                 from .mixed_gtr import ln_prior_mixed

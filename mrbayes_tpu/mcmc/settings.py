@@ -23,6 +23,7 @@ class DivisionSettings:
                            # kmixture
     ngammacat: int = 4
     nmixtcat: int = 4                 # rates=kmixture components
+    nbetacat: int = 5                 # symdirihyperpr beta categories
     parsmodel: bool = False           # Tuffley-Steel parsimony model
     nucmodel: str = "4by4"            # 4by4|doublet|codon|protein
     code: str = "universal"

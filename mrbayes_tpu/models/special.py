@@ -94,3 +94,40 @@ def gamma_quantile(p: jnp.ndarray, a: jnp.ndarray,
 
     y, _ = jax.lax.scan(newton, y, None, length=newton_iters)
     return jnp.exp(y)
+
+
+def beta_quantile(p: jnp.ndarray, a: jnp.ndarray,
+                 newton_iters: int = 40) -> jnp.ndarray:
+    """Quantile of the symmetric Beta(a, a) distribution (reference
+    BetaQuantile, src/utils.c:9651; used by BetaBreaks :9579 to
+    discretize symdirihyperpr state-frequency categories).
+
+    Newton on the logit: x = sigmoid(y); F(x) = betainc(a, a, x).
+    """
+    from jax.scipy.special import betainc, betaln
+    p, a = jnp.broadcast_arrays(jnp.asarray(p, jnp.float32),
+                                jnp.asarray(a, jnp.float32))
+    p = jnp.clip(p, 1e-6, 1.0 - 1e-6)
+    # normal-approximation start: Beta(a,a) has mean 1/2, var 1/(4(2a+1))
+    from jax.scipy.special import ndtri
+    x0 = jnp.clip(0.5 + ndtri(p) * jnp.sqrt(1.0 / (4.0 * (2.0 * a + 1.0))),
+                  1e-4, 1.0 - 1e-4)
+    y = jnp.log(x0) - jnp.log1p(-x0)
+
+    def newton(y, _):
+        x = jax.nn.sigmoid(y)
+        # d/dy F(sigmoid(y)) = pdf(x) * x * (1 - x)
+        logdf = (a * jnp.log(x) + a * jnp.log1p(-x) - betaln(a, a))
+        step = (betainc(a, a, x) - p) * jnp.exp(-logdf)
+        return y - jnp.clip(step, -4.0, 4.0), None
+
+    y, _ = jax.lax.scan(newton, y, None, length=newton_iters)
+    return jax.nn.sigmoid(y)
+
+
+def beta_category_freqs(a: jnp.ndarray, k: int) -> jnp.ndarray:
+    """[k] symmetric-Beta(a, a) category values at quantile midpoints
+    (reference BetaBreaks, src/utils.c:9579): the k state-frequency
+    categories of a symdirihyperpr binary character."""
+    mid = (jnp.arange(k, dtype=jnp.float32) + 0.5) / k
+    return beta_quantile(mid, a)

@@ -138,8 +138,10 @@ def division_site_loglik(left: jnp.ndarray, right: jnp.ndarray,
 
     Shapes: left/right/parent/blen [2n-1]; tip_partials [n, P, S];
     lam [S] (or [K, S] for per-category generators, e.g. omega classes);
-    U/Uinv [S, S] or [K, S, S]; pi [S]; cat_rates [K]; cat_weights [K]
-    (None = equal 1/K); const_mask [P, S] (None when pinv is fixed at 0).
+    U/Uinv [S, S] or [K, S, S]; pi [S] (or [K, S] for per-category
+    stationary frequencies, e.g. symdirihyperpr beta categories);
+    cat_rates [K]; cat_weights [K] (None = equal 1/K); const_mask [P, S]
+    (None when pinv is fixed at 0).
     """
     root_cl, logscale = root_clv(
         left, right, parent, blen, tip_partials, lam, U, Uinv,
@@ -150,8 +152,12 @@ def division_site_loglik(left: jnp.ndarray, right: jnp.ndarray,
 
     if cat_weights is None:
         cat_weights = jnp.full((k,), 1.0 / k, dtype)
-    site_l = jnp.einsum("pks,k,s->p", root_cl,
-                        cat_weights.astype(dtype), pi.astype(dtype))
+    if pi.ndim == 2:
+        site_l = jnp.einsum("pks,k,ks->p", root_cl,
+                            cat_weights.astype(dtype), pi.astype(dtype))
+    else:
+        site_l = jnp.einsum("pks,k,s->p", root_cl,
+                            cat_weights.astype(dtype), pi.astype(dtype))
     site_l = jnp.maximum(site_l, _TINY)
     ln_var = jnp.log(site_l) + logscale
 
@@ -159,8 +165,13 @@ def division_site_loglik(left: jnp.ndarray, right: jnp.ndarray,
     if const_mask is None:
         ln_site = ln_var
     else:
-        const_l = jnp.einsum("ps,s->p", const_mask.astype(dtype),
-                             pi.astype(dtype))
+        if pi.ndim == 2:
+            const_l = jnp.einsum("ps,k,ks->p", const_mask.astype(dtype),
+                                 cat_weights.astype(dtype),
+                                 pi.astype(dtype))
+        else:
+            const_l = jnp.einsum("ps,s->p", const_mask.astype(dtype),
+                                 pi.astype(dtype))
         ln_inv = jnp.log(jnp.maximum(pinv, _TINY)) + \
             jnp.log(jnp.maximum(const_l, _TINY))
         ln_site = jnp.where(
