@@ -359,6 +359,7 @@ class McmcRunner:
 
     # --------------------------------------------------------------- run
     def run(self):
+        import signal
         mc = self.mc
         eng = self.eng
         start_gen = 0
@@ -375,15 +376,43 @@ class McmcRunner:
                  + " ".join(f"{v:.2f}" for v in lnls))
         if start_gen == 0:
             self._write_sample(0, states, bk)
+        # graceful SIGINT: first ^C requests a stop at the next block
+        # boundary (checkpoint written); a second ^C aborts immediately
+        # (reference CatchInterrupt/ConfirmAbortRun, src/mcmc.c:2205,
+        # :15495, checked each generation :16713)
+        self._abort = False
+        self.phase_times = {"device": 0.0, "sample_io": 0.0,
+                            "diagnostics": 0.0, "checkpoint": 0.0}
+
+        def on_sigint(sig, frame):
+            if self._abort:
+                raise KeyboardInterrupt
+            self._abort = True
+            self.log("   ^C received: stopping at the next sample "
+                     "boundary (checkpoint will be written); "
+                     "press ^C again to abort immediately")
+
+        try:
+            prev_handler = signal.signal(signal.SIGINT, on_sigint)
+        except ValueError:       # not the main thread (tests)
+            prev_handler = None
         t0 = time.time()
         gen = start_gen
         stopped = False
         while gen < mc.ngen and not stopped:
             n = min(mc.samplefreq, mc.ngen - gen)
+            tb = time.time()
             states, bk = eng.run_block(states, bk, n)
+            states["lnL"].block_until_ready()
+            self.phase_times["device"] += time.time() - tb
             gen += n
-            if gen % mc.samplefreq == 0 or gen == mc.ngen:
+            if self._abort:
+                self.log(f"   Run aborted by user at generation {gen}")
+                stopped = True
+            tb = time.time()
+            if gen % mc.samplefreq == 0 or gen == mc.ngen or stopped:
                 self._write_sample(gen, states, bk)
+            self.phase_times["sample_io"] += time.time() - tb
             if gen % mc.printfreq == 0 or gen == mc.ngen:
                 lnls = np.asarray(states["lnL"])
                 cold = eng.cold_indices(bk)
@@ -392,6 +421,7 @@ class McmcRunner:
                 self.log(f"   {gen} -- "
                          + " ".join(f"[{lnls[c]:.3f}]" for c in cold)
                          + f" -- {rate:.0f} gen/s -- {eta:.0f} s remaining")
+            tb = time.time()
             if gen % mc.diagnfreq == 0 and mc.nruns > 1:
                 asdsf = self._burned_asdsf()
                 self.asdsf_series.append((gen, asdsf))
@@ -403,9 +433,17 @@ class McmcRunner:
                     self.log("   Analysis stopped: convergence criterion "
                              "reached")
                     stopped = True
+            self.phase_times["diagnostics"] += time.time() - tb
+            tb = time.time()
             if mc.checkfreq and gen % mc.checkfreq == 0:
                 self.write_checkpoint(states, bk, gen)
+            self.phase_times["checkpoint"] += time.time() - tb
+        tb = time.time()
         self.write_checkpoint(states, bk, gen)
+        self.phase_times["checkpoint"] += time.time() - tb
+        if prev_handler is not None:
+            import signal as _signal
+            _signal.signal(_signal.SIGINT, prev_handler)
         for f in (self.pf + [t for ts in self.tf for t in ts]
                   + [g for gs in self.gf for g in gs]):
             f.write("end;\n" if f.name.endswith(".t") else "")
@@ -414,6 +452,16 @@ class McmcRunner:
         dt = time.time() - t0
         self.log(f"   Analysis completed in {dt:.0f} seconds")
         self.log(f"   Analysis used {dt:.2f} seconds of total time")
+        # per-phase wall-time breakdown (role of the reference's
+        # TIMING_ANALIZ per-kernel clocks, src/likelihood.h:4-19 — here
+        # the whole device step is one fused dispatch, so the phases are
+        # device vs the host-side services around it)
+        pt = self.phase_times
+        tracked = sum(pt.values())
+        self.log("   Time breakdown: "
+                 + "  ".join(f"{k} {v:.2f}s ({v / max(dt, 1e-9):.0%})"
+                             for k, v in pt.items())
+                 + f"  other {max(dt - tracked, 0.0):.2f}s")
         for r, slot in enumerate(eng.cold_indices(bk)):
             best = max((s["lnLike"] for s in self.param_samples[r]),
                        default=float(states["lnL"][slot]))
