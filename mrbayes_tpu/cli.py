@@ -85,10 +85,9 @@ class CommandError(Exception):
 
 
 PARAM_ALIASES = {
-    "statefreq": "pi", "statefreqpr": "pi", "revmat": "revmat",
-    "revmatpr": "revmat", "tratio": "tratio", "shape": "shape",
-    "pinvar": "pinvar", "ratemultiplier": "ratemult", "topology": "topology",
-    "brlens": "brlens", "aamodel": "aamodel",
+    "statefreq": "pi", "revmat": "revmat", "tratio": "tratio",
+    "shape": "shape", "pinvar": "pinvar", "ratemultiplier": "ratemult",
+    "topology": "topology", "brlens": "brlens", "aamodel": "aamodel",
 }
 
 
@@ -761,6 +760,9 @@ class Interpreter:
         self.env.ensure_div_settings()
         n = self.env.n_user_divs()
         for key, val in self._kv_pairs(args):
+            # abbreviation matching ("statefr" -> statefreq -> pi),
+            # reference IsSame prefix semantics
+            key = self._canon(key, tuple(PARAM_ALIASES))
             param = PARAM_ALIASES.get(key, key)
             inner = [t for t in val if t not in "(),"]
             if any(t.lower() == "all" for t in inner):

