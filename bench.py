@@ -68,27 +68,60 @@ EXAMPLES = "/root/reference/examples"
 # BASELINE.json configs 2-5 (the headline primates config is `main`).
 # Each entry: (name, setup commands executed through the NEXUS front
 # end, runs, chains, lnL floor for the post-warmup sanity check).
+# hymfossil's documented model (its in-file mrbayes block is commented
+# out); morphology + 6 DNA subsets, DNA under nst=mixed rjMCMC
+HYMFOSSIL_SETUP = [
+    "charset MV = 1-236", "charset MS = 237-353",
+    "charset 12S = 354-556", "charset 16S = 557-778",
+    "charset 18S = 779-1669", "charset 28S = 1670-2221",
+    "charset CO1 = 2222-3265",
+    "charset CO1_12 = 2222-3265\\3 2223-3265\\3",
+    "charset CO1_3 = 2224-3265\\3",
+    "charset Ef1aF2 = 3266-4357",
+    "charset Ef1aF2_12 = 3266-4357\\3 3267-4357\\3",
+    "charset Ef1aF2_3 = 3268-4357\\3",
+    "charset Ef1aF1 = 4358-5449",
+    "charset Ef1aF1_12 = 4358-5449\\3 4359-5449\\3",
+    "charset Ef1aF1_3 = 4360-5449\\3",
+    "charset morph_ordered = 20 23 27 30 35 36 41 42 44 46 48 59 65 75 "
+    "78 79 89 99 112 117 134 146 157 159 171 185 191 192 193 196 218 "
+    "228 229 230 237 263 266 288 296 299 304 343 347 349",
+    "charset morph_excluded = 96 136 212 216 217 218 219 220",
+    "charset morph_constant = 277 331",
+    "ctype ordered: morph_ordered",
+    "exclude morph_excluded morph_constant",
+    "partition without_CO1_3 = 7: MV MS, 12S 16S, 18S, 28S, "
+    "CO1_12 CO1_3, Ef1aF1_12 Ef1aF2_12, Ef1aF1_3 Ef1aF2_3",
+    "exclude CO1_3",
+    "set partition = without_CO1_3",
+    "lset applyto=(1) coding=variable rates=gamma",
+    "lset applyto=(2,3,5,6,7) nst=mixed rates=gamma",
+    "lset applyto=(4) nst=mixed rates=gamma",
+    "prset applyto=(4) statefreqpr=fixed(equal)",
+    "unlink statefreq=(all) revmat=(all) shape=(all)",
+    "prset applyto=(all) ratepr=variable",
+]
+
 ALL_CONFIGS = [
     ("kim_gtr_ig",
-     f"execute {EXAMPLES}/kim.nex; lset nst=6 rates=invgamma;",
+     [f"execute {EXAMPLES}/kim.nex", "lset nst=6 rates=invgamma"],
      1, 4, None),
     ("finch_gtr_ig",
-     f"execute {EXAMPLES}/finch.nex; lset nst=6 rates=invgamma;",
+     [f"execute {EXAMPLES}/finch.nex", "lset nst=6 rates=invgamma"],
      1, 4, None),
     ("codon_m0_61state",
-     f"execute {EXAMPLES}/replicase.nex; lset nucmodel=codon;",
+     [f"execute {EXAMPLES}/replicase.nex", "lset nucmodel=codon"],
      1, 4, None),
     ("codon_ny98_61state",
-     f"execute {EXAMPLES}/replicase.nex; lset nucmodel=codon "
-     "omegavar=ny98;",
+     [f"execute {EXAMPLES}/replicase.nex",
+      "lset nucmodel=codon omegavar=ny98"],
      1, 4, None),
     ("hymfossil_rjmcmc_partitioned",
-     f"execute {EXAMPLES}/hymfossil.nex; "
-     "lset applyto=(2,3,4,5,6,7) nst=mixed;",
+     [f"execute {EXAMPLES}/hymfossil.nex"] + HYMFOSSIL_SETUP,
      1, 4, None),
     ("avian_2x32_chains",
-     f"execute {EXAMPLES}/avian_ovomucoids.nex; "
-     "lset nst=6 rates=invgamma;",
+     [f"execute {EXAMPLES}/avian_ovomucoids.nex",
+      "lset nst=6 rates=invgamma"],
      2, 32, None),
 ]
 
@@ -108,10 +141,8 @@ def bench_all():
     results = []
     for name, setup, nruns, nchains, floor in ALL_CONFIGS:
         it = Interpreter(log=lambda m: None)
-        for cmd in setup.split(";"):
-            cmd = cmd.strip()
-            if cmd:
-                it.run_line(cmd, base_dir=".")
+        for cmd in setup:
+            it.run_line(cmd, base_dir=".")
         it.env.mcmc = McmcSettings(nruns=nruns, nchains=nchains, seed=3,
                                    ngen=1000)
         eng = it.build_engine()

@@ -2185,14 +2185,27 @@ class Engine:
             states, bk = carry
             key = jax.random.fold_in(bk["key"], g)
             k_sel, key = jax.random.split(key)
-            move_idx = jax.random.categorical(k_sel, self.move_logits)
             keys = jax.random.split(key, self.mcmc.n_chains_total)
             heats = 1.0 / (1.0 + lam * bk["temp_id"].astype(jnp.float32))
             power = bk.get("power", jnp.float32(1.0))
-            states, accepted = jax.vmap(
-                self._chain_step, in_axes=(0, 0, 0, 0, None, None))(
-                keys, states, heats, bk["tuning"], power, move_idx)
-            onehot = jax.nn.one_hot(move_idx, nm, dtype=jnp.int32)[None, :]
+            if self.mcmc.per_chain_moves:
+                # reference-style independent PickProposal per chain;
+                # under vmap the lax.switch evaluates every move branch
+                # for every chain (the measured cost of decorrelation)
+                move_idx = jax.random.categorical(
+                    k_sel, self.move_logits,
+                    shape=(self.mcmc.n_chains_total,))
+                states, accepted = jax.vmap(
+                    self._chain_step, in_axes=(0, 0, 0, 0, None, 0))(
+                    keys, states, heats, bk["tuning"], power, move_idx)
+                onehot = jax.nn.one_hot(move_idx, nm, dtype=jnp.int32)
+            else:
+                move_idx = jax.random.categorical(k_sel, self.move_logits)
+                states, accepted = jax.vmap(
+                    self._chain_step, in_axes=(0, 0, 0, 0, None, None))(
+                    keys, states, heats, bk["tuning"], power, move_idx)
+                onehot = jax.nn.one_hot(move_idx, nm,
+                                        dtype=jnp.int32)[None, :]
             bk = {**bk,
                   "tries": bk["tries"] + onehot,
                   "accepts": bk["accepts"]

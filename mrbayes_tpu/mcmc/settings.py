@@ -146,6 +146,12 @@ class McmcSettings:
     append: bool = False
     tune: bool = True
     tunefreq: int = 100
+    # per-chain move selection (the reference's PickProposal draws a move
+    # independently per chain, src/mcmc.c:10094).  Default False: one
+    # shared random move index per generation keeps the lax.switch scalar
+    # under vmap so exactly one branch executes (measured A/B in
+    # BASELINE.md); the invariant distribution per chain is identical.
+    per_chain_moves: bool = False
 
     @property
     def n_chains_total(self) -> int:

@@ -31,7 +31,7 @@ def make_pruner(tip_partials, n_cats: int, coding: str = "all"):
     accounts for the appended dummy constant patterns."""
     import numpy as np
 
-    from .pruning_pallas import PruningPallas
+    from .pruning_pallas import PruningPallas, pick_pattern_block
     tp = np.asarray(tip_partials)
     n_tips, P, S = tp.shape
     if coding != "all":
@@ -39,10 +39,8 @@ def make_pruner(tip_partials, n_cats: int, coding: str = "all"):
         tp = np.concatenate([tp, dummy], axis=1)
     ks = n_cats * S
     ksp = ((ks + 7) // 8) * 8
-    n_int = n_tips - 1
-    bstep_bytes = n_int * 2 * ksp * ksp * 4
-    scratch_bytes = (n_tips + n_int) * ksp * 128 * 4
-    if bstep_bytes + scratch_bytes > 12 * 1024 * 1024:
+    ppad = ((tp.shape[1] + 127) // 128) * 128
+    if pick_pattern_block(n_tips, ksp, ppad) is None:
         return None
     return PruningPallas(tp, n_cats)
 

@@ -75,6 +75,37 @@ def _kernel(lr_ref, bstep_ref, tips_ref, root_ref, ls_ref, cl_ref,
     root_ref[:] = cl_ref[n_tips + n_int - 1]
 
 
+VMEM_CAP = 96 * 1024 * 1024      # v5e VMEM is 128 MiB; leave headroom
+
+
+def kernel_vmem_bytes(n_tips: int, ksp: int, pblk: int) -> int:
+    """Scoped-VMEM requirement of one grid cell: double-buffered bstep
+    and tips input blocks, the full-slot scratch, and the (revisited)
+    output blocks.  Mosaic's default scoped limit is 16 MiB; the
+    pallas_call raises it to this estimate (v5e has 128 MiB)."""
+    n_int = n_tips - 1
+    n_slots = n_tips + n_int
+    bstep_blk = n_int * 2 * ksp * ksp * 4
+    tips_blk = n_tips * ksp * pblk * 4
+    scratch = n_slots * ksp * pblk * 4
+    outs = (ksp * pblk + pblk) * 4
+    return 2 * bstep_blk + 2 * tips_blk + scratch + 2 * outs
+
+
+def pick_pattern_block(n_tips: int, ksp: int, ppad: int) -> int | None:
+    """Largest power-of-two pattern block (>=128, dividing ppad) whose
+    grid cell fits VMEM_CAP; None when even 128 does not fit."""
+    pblk = ppad
+    while pblk > 128 and (kernel_vmem_bytes(n_tips, ksp, pblk) > VMEM_CAP
+                          or ppad % pblk):
+        pblk //= 2
+    while ppad % pblk:
+        pblk //= 2
+    if kernel_vmem_bytes(n_tips, ksp, pblk) > VMEM_CAP:
+        return None
+    return pblk
+
+
 def _pallas_batched(lr, bstep, tips, n_tips: int):
     """lr [C, n_int, 2] int32; bstep [C, n_int, 2, KSp, KSp] f32;
     tips [n_tips, KSp, Ppad] f32 (shared across chains).
@@ -82,16 +113,14 @@ def _pallas_batched(lr, bstep, tips, n_tips: int):
     C, n_int = lr.shape[0], lr.shape[1]
     ksp = bstep.shape[-1]
     ppad = tips.shape[-1]
-    # pattern block: keep the whole scratch within a conservative VMEM
-    # budget (~8 MB) so big alignments grid over pattern blocks
     n_slots = n_tips + n_int
-    budget = 8 * 1024 * 1024
-    pblk = ppad
-    while n_slots * ksp * pblk * 4 > budget and pblk > 128:
-        pblk //= 2
-    while ppad % pblk:
-        pblk //= 2
+    pblk = pick_pattern_block(n_tips, ksp, ppad)
+    if pblk is None:
+        raise ValueError("pruning kernel working set exceeds VMEM; "
+                         "make_pruner should have fallen back")
     nblk = ppad // pblk
+    vmem_limit = min(int(kernel_vmem_bytes(n_tips, ksp, pblk) * 1.15),
+                     VMEM_CAP)
 
     grid = (C, nblk)
     kernel = functools.partial(_kernel, n_tips=n_tips, n_int=n_int)
@@ -125,6 +154,8 @@ def _pallas_batched(lr, bstep, tips, n_tips: int):
             bytes_accessed=C * (n_int * 2 * ksp * ksp + 2 * ksp * ppad) * 4,
             transcendentals=C * n_int * ppad,
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit),
     )(lr, bstep, tips)
     return root, ls[:, 0, :]
 
