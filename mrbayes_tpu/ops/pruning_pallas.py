@@ -81,15 +81,20 @@ VMEM_CAP = 96 * 1024 * 1024      # v5e VMEM is 128 MiB; leave headroom
 def kernel_vmem_bytes(n_tips: int, ksp: int, pblk: int) -> int:
     """Scoped-VMEM requirement of one grid cell: double-buffered bstep
     and tips input blocks, the full-slot scratch, and the (revisited)
-    output blocks.  Mosaic's default scoped limit is 16 MiB; the
-    pallas_call raises it to this estimate (v5e has 128 MiB)."""
+    output blocks, with f32 tile padding applied (last dim to 128 lanes,
+    second-to-last to 8 sublanes) plus fixed slack.  Mosaic's default
+    scoped limit is 16 MiB; the pallas_call raises it to this estimate
+    (v5e has 128 MiB)."""
     n_int = n_tips - 1
     n_slots = n_tips + n_int
-    bstep_blk = n_int * 2 * ksp * ksp * 4
-    tips_blk = n_tips * ksp * pblk * 4
-    scratch = n_slots * ksp * pblk * 4
-    outs = (ksp * pblk + pblk) * 4
-    return 2 * bstep_blk + 2 * tips_blk + scratch + 2 * outs
+    lane = _round_up(ksp, 128)           # bstep matrices' last dim
+    sub = _round_up(ksp, 8)
+    bstep_blk = n_int * 2 * sub * lane * 4
+    tips_blk = n_tips * sub * pblk * 4
+    scratch = n_slots * sub * pblk * 4
+    outs = (sub * pblk + pblk) * 4
+    return (2 * bstep_blk + 2 * tips_blk + scratch + 2 * outs
+            + (1 << 20))
 
 
 def pick_pattern_block(n_tips: int, ksp: int, ppad: int) -> int | None:

@@ -151,16 +151,30 @@ def sumt(prefix: str, burninfrac: float = 0.25, log=print,
     files = find_run_files(prefix, "t")
     if not files:
         raise FileNotFoundError(f"no .t files match {prefix}")
-    taxa = None
-    per_run_trees = []
-    for path in files:
-        taxa, trees = read_t_file(path, taxa)
-        burn = int(len(trees) * burninfrac)
-        per_run_trees.append(trees[burn:])
-    ts = TreeSummary(len(files), taxa)
-    for r, trees in enumerate(per_run_trees):
-        for t in trees:
-            ts.add(r, t)
+    # fast path: C++ batch parser + vectorized accumulation
+    # (native/treeio.cpp); falls back to the Python reader on named
+    # labels, parse errors, or a missing compiler
+    from .fast_t import add_run_native, read_translate
+    texts = [open(p).read() for p in files]
+    taxa = read_translate(texts[0])
+    ts = None
+    if taxa is not None:
+        ts = TreeSummary(len(files), taxa)
+        for r, text in enumerate(texts):
+            if not add_run_native(ts, r, text, burninfrac):
+                ts = None
+                break
+    if ts is None:
+        taxa = None
+        per_run_trees = []
+        for path in files:
+            taxa, trees = read_t_file(path, taxa)
+            burn = int(len(trees) * burninfrac)
+            per_run_trees.append(trees[burn:])
+        ts = TreeSummary(len(files), taxa)
+        for r, trees in enumerate(per_run_trees):
+            for t in trees:
+                ts.add(r, t)
     total = int(ts.counter.n_trees.sum())
     log(f"   Summarizing trees: {total} samples from {len(files)} run(s)")
     asdsf = ts.counter.asdsf()
