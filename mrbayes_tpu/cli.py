@@ -144,8 +144,11 @@ class Interpreter:
         if handler is None:
             handler = self._abbrev_handler(name)
         if handler is None:
-            self.log(f"   [!] Unknown command \"{name}\" (ignored)")
-            return
+            # the reference rejects unknown commands ("Could not find
+            # command", src/command.c FindValidCommand) rather than
+            # silently skipping them — a typo'd command is a user error
+            self.log(f"   [!] Could not find command \"{name}\"")
+            raise CommandError(f"unknown command {name!r}")
         try:
             handler(args, base_dir)
         except CommandError as e:
@@ -201,6 +204,22 @@ class Interpreter:
         return hits[0] if len(hits) == 1 else key
 
     @staticmethod
+    def _canon_strict(key: str, names: tuple, cmd: str) -> str:
+        """Like _canon but rejects unmatched keys — the reference errors
+        with "Invalid argument" on unknown parameters (src/command.c
+        DoesWordMatchToken / expecting-token checks) instead of silently
+        dropping them."""
+        if key in names:
+            return key
+        hits = [n for n in names if n.startswith(key)]
+        if len(hits) == 1:
+            return hits[0]
+        if len(hits) > 1:
+            raise CommandError(
+                f"ambiguous {cmd} argument {key!r} (matches {hits})")
+        raise CommandError(f"invalid {cmd} argument {key!r}")
+
+    @staticmethod
     def _parse_prior(tokens: list[str]) -> Prior:
         """Parse 'exponential(10.0)' or 'dirichlet(1,1,1,1)' or 'fixed(equal)'
         possibly split across tokens."""
@@ -250,8 +269,19 @@ class Interpreter:
             path = cand if os.path.exists(cand) else path
         self.execute_file(path)
 
+    SET_KEYS = ("autoclose", "nowarn", "nowarnings", "seed", "swapseed",
+                "partition", "speciespartition", "dir", "quitonerror",
+                "scientific", "precision", "ordertaxa",
+                # BEAGLE resource selection: accepted for drive-file
+                # compatibility; the XLA/Pallas engine subsumes BEAGLE's
+                # role (reference set usebeagle..., src/command.c:7202)
+                "usebeagle", "beagledevice", "beagleprecision",
+                "beagleresource", "beaglescaling", "beaglesse",
+                "beagleopenmp", "beaglefreq", "beaglethreads")
+
     def do_set(self, args, base_dir):
         for key, val in self._kv_pairs(args):
+            key = self._canon_strict(key, self.SET_KEYS, "set")
             v = val[0].lower() if val else ""
             if key == "autoclose":
                 self.env.autoclose = v.startswith("y")
@@ -372,9 +402,12 @@ class Interpreter:
                 self.env.ctypes.pop(c, None)
         else:
             if kind == "irreversible":
-                self.log("   [ctype irreversible: treated as unordered "
-                         "(irreversible Mk lands in a later round)]")
-                return
+                # exact parity: the reference itself rejects IRREV at
+                # model setup ("Irreversible model not yet supported",
+                # src/model.c:16527-16531)
+                raise CommandError("irreversible model not supported "
+                                   "(the reference rejects it too, "
+                                   "src/model.c:16529)")
             for c in cols:
                 self.env.ctypes[c] = kind
         self.log(f"   Set ctype {kind} for {len(cols)} characters")
@@ -572,10 +605,21 @@ class Interpreter:
         pairs = self._kv_pairs(args)
         targets = self._applyto(pairs)
         for key, val in pairs:
-            key = self._canon(key, self.LSET_KEYS)
+            key = self._canon_strict(key, self.LSET_KEYS, "lset")
             if key == "applyto" or not val:
                 continue
             v = "".join(val).lower()
+            if key == "usegibbs":
+                # Gibbs sampling of gamma categories deliberately not
+                # carried over (dense rate categories are cheap on the
+                # MXU; reference GibbsSampleGamma, src/mcmc.c:5263)
+                if v.startswith("y"):
+                    raise CommandError(
+                        "usegibbs=yes is not supported: rate categories "
+                        "are always integrated densely on the TPU")
+                continue
+            if key == "gibbsfreq":
+                continue
             for d in targets:
                 s = self.env.div_settings[d]
                 if key == "nst":
@@ -612,13 +656,13 @@ class Interpreter:
                   "extinctionpr", "popsizepr", "growthpr", "sampleprob",
                   "samplestrat", "fossilizationpr", "nodeagepr",
                   "popvarpr", "ploidy", "symdirihyperpr",
-                  "covtionpr", "browncorrpr", "brownscalepr")
+                  "browncorrpr", "brownscalepr")
 
     def do_prset(self, args, base_dir):
         pairs = self._kv_pairs(args)
         targets = self._applyto(pairs)
         for key, val in pairs:
-            key = self._canon(key, self.PRSET_KEYS)
+            key = self._canon_strict(key, self.PRSET_KEYS, "prset")
             if key == "applyto" or not val:
                 continue
             prior = self._parse_prior(val)
@@ -715,6 +759,17 @@ class Interpreter:
                     self.env.tree_settings.fossilizationpr = prior
                 elif key == "nodeagepr":
                     self.env.tree_settings.nodeagepr = prior.kind
+                elif key == "browncorrpr":
+                    s.browncorrpr = prior
+                elif key == "brownscalepr":
+                    s.brownscalepr = prior
+                elif key == "m3omegapr":
+                    # reference default: exponential order statistics
+                    # (src/command.c:10819); fixed(w1,w2,w3) not wired
+                    if prior.kind not in ("exponential", "exp"):
+                        raise CommandError(
+                            "m3omegapr supports only 'exponential' "
+                            "(order-statistic prior)")
 
     def _set_brlenspr(self, val):
         text = "".join(val).lower()
@@ -917,7 +972,7 @@ class Interpreter:
         for key, val in self._kv_pairs(args):
             if not val:
                 continue
-            key = self._canon(key, self.MCMC_KEYS)
+            key = self._canon_strict(key, self.MCMC_KEYS, "mcmc")
             v = "".join(val)
             vl = v.lower()
             if key in ("ngen", "n"):
@@ -962,6 +1017,26 @@ class Interpreter:
                 mc.tune = vl.startswith("y")
             elif key == "tunefreq":
                 mc.tunefreq = int(v)
+            elif key == "autotune":
+                mc.tune = vl.startswith("y")
+            elif key == "savebrlens":
+                if not vl.startswith("y"):
+                    raise CommandError(
+                        "savebrlens=no not supported: .t samples always "
+                        "carry branch lengths")
+            elif key == "checkpoint":
+                if not vl.startswith("y"):
+                    mc.checkfreq = 1 << 62   # effectively off
+            elif key == "data":
+                if not vl.startswith("y"):
+                    raise CommandError(
+                        "mcmc data=no (prior-only sampling) is not "
+                        "supported yet")
+            elif key in ("diagnstat", "mcmcdiagn", "ordertaxa", "reheat",
+                         "printall", "printmax", "nsteps", "alpha",
+                         "burninss"):
+                pass   # accepted: ss params read by do_ss; the rest are
+                       # cosmetic output options in the reference
 
     def do_mcmcp(self, args, base_dir):
         self._set_mcmc_params(args)
@@ -1091,6 +1166,108 @@ class Interpreter:
     def do_showmatrix(self, args, base_dir):
         m = self.env.nexus.matrix
         self.log(f"   Matrix: {m.ntax} x {m.nchar} ({m.fmt.datatype.value})")
+
+    def do_showmoves(self, args, base_dir):
+        """List every registered move with its weight, tuning parameter
+        and autotune target (reference ShowMoves via 'showmoves',
+        src/command.c:271 table; our registry is Engine.moves)."""
+        eng = self.build_engine()
+        total = sum(m.weight for m in eng.moves)
+        self.log("   Moves that will be used by the MCMC sampler:")
+        self.log(f"   {'move':<22}{'rel.prob':>9}{'prob(%)':>9}"
+                 f"{'tuning':>10}{'target':>8}{'autotune':>9}")
+        for m in eng.moves:
+            self.log(f"   {m.name:<22}{m.weight:>9.2f}"
+                     f"{100.0 * m.weight / total:>9.1f}"
+                     f"{m.tuning0:>10.4g}{m.target:>8.2f}"
+                     f"{'yes' if m.tunable else 'no':>9}")
+        self.log(f"   {len(eng.moves)} moves registered")
+
+    def do_showparams(self, args, base_dir):
+        """Dump the current model/prior settings per division plus the
+        chain/run configuration (reference 'showparams' prints the Param
+        table, src/command.c)."""
+        self.env.ensure_div_settings()
+        for i, s in enumerate(self.env.div_settings):
+            self.log(f"   Division {i + 1}:")
+            self.log(f"      lset: nst={s.nst} rates={s.rates} "
+                     f"ngammacat={s.ngammacat} nucmodel={s.nucmodel} "
+                     f"covarion={s.covarion} coding={s.coding} "
+                     f"omegavar={s.omegavar} parsmodel={s.parsmodel}")
+            for fld in ("statefreqpr", "revmatpr", "tratiopr", "shapepr",
+                        "pinvarpr", "omegapr", "symdirihyperpr",
+                        "aamodelpr"):
+                pr = getattr(s, fld)
+                self.log(f"      {fld} = {pr.kind}{pr.params}")
+        ts = self.env.tree_settings
+        self.log(f"   Tree: brlenspr={ts.brlenspr.kind}{ts.brlenspr.params}"
+                 f" clock={ts.clock} clockpr={ts.clockpr} "
+                 f"clockvarpr={ts.clockvarpr} "
+                 f"topologypr={ts.topologypr.kind}")
+        mc = self.env.mcmc
+        self.log(f"   MCMC: ngen={mc.ngen} nruns={mc.nruns} "
+                 f"nchains={mc.nchains} temp={mc.temp} "
+                 f"samplefreq={mc.samplefreq} seed={mc.seed}")
+
+    def do_charstat(self, args, base_dir):
+        """Per-character status table (reference DoCharStat,
+        src/command.c): included/excluded and datatype summary."""
+        if self.env.nexus is None or self.env.nexus.matrix is None:
+            raise CommandError("no data matrix read in")
+        m = self.env.nexus.matrix
+        n_excl = len(self.env.excluded)
+        self.log(f"   Number of characters: {m.nchar}")
+        self.log(f"   Included characters:  {m.nchar - n_excl}")
+        self.log(f"   Excluded characters:  {n_excl}")
+        by_dt: dict = {}
+        for c in range(m.nchar):
+            by_dt[m.col_datatype[c]] = by_dt.get(m.col_datatype[c], 0) + 1
+        for dt, n in by_dt.items():
+            self.log(f"      {dt.value}: {n}")
+        if self.env.ctypes:
+            self.log(f"   Ordered characters:   "
+                     f"{sum(1 for v in self.env.ctypes.values() if v == 'ordered')}")
+
+    def do_taxastat(self, args, base_dir):
+        """Per-taxon status table (reference DoTaxaStat,
+        src/command.c): deleted/included."""
+        if self.env.nexus is None:
+            raise CommandError("no data matrix read in")
+        taxa = self.env.nexus.taxa
+        self.log(f"   Number of taxa: {len(taxa)}")
+        for i, t in enumerate(taxa):
+            mark = "deleted" if i in self.env.deleted else "included"
+            self.log(f"   {i + 1:>4}  {t:<30} {mark}")
+
+    def do_showusertrees(self, args, base_dir):
+        """List user trees read from trees blocks (reference
+        DoShowUserTrees, src/command.c)."""
+        if not self.env.user_trees:
+            self.log("   No user trees have been defined")
+            return
+        for name, nwk in self.env.user_trees.items():
+            short = nwk if len(nwk) < 60 else nwk[:57] + "..."
+            self.log(f"   Tree \"{name}\": {short}")
+
+    def do_databreaks(self, args, base_dir):
+        """Show datatype boundaries in a mixed matrix (reference
+        DoDatabreaks, src/command.c)."""
+        m = self.env.nexus.matrix
+        breaks = [c for c in range(1, m.nchar)
+                  if m.col_datatype[c] != m.col_datatype[c - 1]]
+        if breaks:
+            self.log("   Data breaks after characters: "
+                     + " ".join(str(b) for b in breaks))
+        else:
+            self.log("   No data breaks (single datatype)")
+
+    def do_citations(self, args, base_dir):
+        self.log("   Ronquist F. et al. (2012) MrBayes 3.2: efficient "
+                 "Bayesian phylogenetic inference and model choice across "
+                 "a large model space. Syst. Biol. 61:539-542.")
+        self.log("   This reimplementation: mrbayes_tpu (JAX/XLA/Pallas "
+                 "TPU-native engine with the MrBayes 3.2.8 capability "
+                 "surface).")
 
     def do_about(self, args, base_dir):
         self.log("   mrbayes_tpu — TPU-native Bayesian phylogenetics "

@@ -55,6 +55,14 @@ class DivisionSettings:
     aamodelpr: Prior = field(default_factory=lambda: Prior("fixed", ()))
     symdirihyperpr: Prior = field(default_factory=lambda: Prior("fixed", (-1.0,)))
     ratepr: str = "fixed"             # fixed | variable
+    # continuous (Brownian-motion) characters.  NOTE: the reference's own
+    # Likelihood_Cont is an empty stub returning lnL=0
+    # (src/likelihood.c:7554 "//chi TODO"); here the PIC/REML likelihood
+    # is actually computed (ops/brownian.py)
+    brownscalepr: Prior = field(default_factory=lambda: Prior(
+        "gamma", (1.0, 10.0)))
+    browncorrpr: Prior = field(default_factory=lambda: Prior(
+        "fixed", (0.0,)))
 
 
 @dataclass

@@ -87,27 +87,7 @@ class TreeSummary:
     def consensus_newick(self, allcompat: bool = False,
                          figtree: bool = False) -> str:
         chosen, freq = self.consensus(allcompat)
-        n = self.n
-        # build containment forest: parent = smallest chosen split strictly
-        # containing the node's set; root = full set minus tip0
-        chosen_sorted = sorted(chosen, key=len)
-        children: dict[object, list] = {"root": []}
-        nodesets: list[tuple[frozenset, object]] = []
-        for s in chosen_sorted:
-            children[s] = []
-        for item in list(chosen_sorted) + [frozenset([i])
-                                           for i in range(1, n)]:
-            if isinstance(item, frozenset) and len(item) == 1 \
-                    and item in children:
-                continue
-            parent = None
-            for cand in sorted(chosen, key=len):
-                if len(cand) > len(item) and item < cand:
-                    parent = cand
-                    break
-            key = parent if parent is not None else "root"
-            children[key].append(item)
-        # remove duplicate singleton insertion for chosen singletons
+        children = _containment_forest(chosen, self.n)
         def mean_blen(key):
             c = self.blen_count.get(key, 0)
             return self.blen_sum.get(key, 0.0) / c if c else 0.0
@@ -140,6 +120,55 @@ class TreeSummary:
         top = ",".join(render(k) for k in children["root"])
         tip0 = f"1{annot(frozenset([0]), 1.0)}:{mean_blen(frozenset([0])):.8f}"
         return f"({tip0},{top});"
+
+    def topology_newick(self, topo: tuple) -> str:
+        """Render a topology key (tuple of normalized internal splits, as
+        stored by ``add``) back to a branch-length-free Newick string —
+        the reference writes each unique topology into .trprobs via
+        RetrieveUTopology + WriteTopologyToFile (src/sumpt.c:8643-8671).
+        Accepts both key encodings: frozensets (Python reader) and packed
+        little-endian uint64 bitmask bytes (native fast path,
+        fast_t.py:136)."""
+        splits = []
+        for k in topo:
+            if isinstance(k, bytes):
+                words = np.frombuffer(k, dtype=np.uint64)
+                bits = np.unpackbits(words.view(np.uint8),
+                                     bitorder="little")
+                k = frozenset(int(i) for i in np.flatnonzero(bits[:self.n]))
+            splits.append(k)
+        children = _containment_forest(splits, self.n)
+
+        def render(item) -> str:
+            if isinstance(item, frozenset) and len(item) == 1:
+                (tip,) = item
+                return str(tip + 1)
+            return "(" + ",".join(render(k) for k in children[item]) + ")"
+
+        top = ",".join(render(k) for k in children["root"])
+        return f"(1,{top})"
+
+
+def _containment_forest(chosen: list, n: int) -> dict:
+    """Containment forest over splits: parent = smallest chosen split
+    strictly containing the node's set; "root" = full set minus tip0.
+    Values are child lists of splits / tip singletons."""
+    chosen_sorted = sorted(chosen, key=len)
+    children: dict[object, list] = {"root": []}
+    for s in chosen_sorted:
+        children[s] = []
+    for item in list(chosen_sorted) + [frozenset([i]) for i in range(1, n)]:
+        if isinstance(item, frozenset) and len(item) == 1 \
+                and item in children:
+            continue
+        parent = None
+        for cand in chosen_sorted:
+            if len(cand) > len(item) and item < cand:
+                parent = cand
+                break
+        key = parent if parent is not None else "root"
+        children[key].append(item)
+    return children
 
 
 def _compatible(a: frozenset, b: frozenset) -> bool:
@@ -217,14 +246,42 @@ def sumt(prefix: str, burninfrac: float = 0.25, log=print,
             fig = ts.consensus_newick(allcompat, figtree=True)
             f.write(f"   tree con_all_compat = [&U] {fig}\nend;\n")
         with open(f"{prefix}.trprobs", "w") as f:
-            f.write("#NEXUS\n[Trees sorted by posterior probability]\n")
+            # reference TreeProb output format (src/sumpt.c:8652-8671):
+            # header comment, translate table, one 'tree tree_<i> [p,P] =
+            # [&W p] <newick>;' line per unique topology
+            f.write("#NEXUS\n"
+                    "[This file contains the trees that were found during "
+                    "the MCMC\nsearch, sorted by posterior probability. "
+                    "\"p\" indicates the\nposterior probability of the "
+                    "tree whereas \"P\" indicates the\ncumulative "
+                    "posterior probability.]\n\n")
+            f.write("begin trees;\n   translate\n")
+            for i, name in enumerate(taxa):
+                sep = ";" if i == len(taxa) - 1 else ","
+                f.write(f"   {i + 1:>2} {name}{sep}\n")
             tot = sum(ts.topo_counts.values())
             cum = 0.0
             for i, (topo, c) in enumerate(sorted(ts.topo_counts.items(),
                                                  key=lambda kv: -kv[1])):
-                cum += c / tot
-                f.write(f"[p = {c / tot:.6f}, P = {cum:.6f}]\n")
-                if cum > 0.99 or i > 100:
+                p = c / tot
+                cum += p
+                f.write(f"   tree tree_{i + 1} [p = {p:.3f}, "
+                        f"P = {cum:.3f}] = [&W {p:.6f}] "
+                        f"{ts.topology_newick(topo)};\n")
+            f.write("end;\n")
+        # credible-set summary (reference src/sumpt.c:8678-8692)
+        probs = sorted((c for c in ts.topo_counts.values()), reverse=True)
+        tot = sum(probs)
+        log(f"   Credible sets of trees ({len(probs)} tree"
+            f"{'s' if len(probs) > 1 else ''} sampled):")
+        for level in (0.5, 0.9, 0.95, 0.99):
+            cum2, k2 = 0.0, 0
+            for c in probs:
+                cum2 += c / tot
+                k2 += 1
+                if cum2 >= level:
                     break
+            log(f"      {int(level * 100)} % credible set contains "
+                f"{k2} tree{'s' if k2 > 1 else ''}")
     return {"asdsf": asdsf, "consensus": con, "n_splits": len(chosen),
             "split_freqs": freq, "summary": ts}
