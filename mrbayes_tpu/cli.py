@@ -445,14 +445,25 @@ class Interpreter:
         self.log(f"   Defined speciespartition \"{name}\" with "
                  f"{len(groups)} species")
 
+    REPORT_KEYS = ("applyto", "ancstates", "siterates", "possel",
+                   "siteomega", "tree", "brlens", "apetree")
+
     def do_report(self, args, base_dir):
-        """report <setting>=<value> ... — posterior reporting options
-        (reference DoReport, src/command.c).  Stored; possel/siteomega
-        site-level reports are not yet emitted."""
-        for key, val in self._kv_pairs(args):
-            self.env.report[key] = "".join(val).lower()
-        self.log(f"   Set report options: "
-                 + " ".join(f"{k}={v}" for k, v in self.env.report.items()))
+        """report [applyto=(..)] ancstates|siterates|possel|siteomega=yes
+        — posterior reporting options (reference DoReport,
+        src/command.c).  Stored as key -> (value, divisions); the runner
+        appends the matching p(state)/r(i)/pr+/omega columns to the .p
+        samples (mcmc/report.py)."""
+        pairs = self._kv_pairs(args)
+        targets = self._applyto(pairs)
+        for key, val in pairs:
+            key = self._canon_strict(key, self.REPORT_KEYS, "report")
+            if key == "applyto" or not val:
+                continue
+            self.env.report[key] = ("".join(val).lower(), tuple(targets))
+        self.log("   Set report options: "
+                 + " ".join(f"{k}={v}" for k, (v, _)
+                            in self.env.report.items()))
 
     def _expand_taxa(self, toks) -> list[int]:
         """Taxon tokens → 0-based indices: names, numbers, ranges (3-114,
@@ -1049,7 +1060,7 @@ class Interpreter:
             self.log(f"   [MB_MAX_NGEN: ngen capped at {cap}]")
             self.env.mcmc.ngen = int(cap)
         eng = self.build_engine()
-        runner = McmcRunner(eng, log=self.log)
+        runner = McmcRunner(eng, log=self.log, report=self.env.report)
         runner.run()
         self._last_runner = runner
 

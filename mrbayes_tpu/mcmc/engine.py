@@ -75,6 +75,7 @@ class DivCfg:
     ratecorr_group: int = -1      # rates=adgamma autocorrelation rho
     mixt_group: int = -1          # rates=kmixture sampled category rates
     parsimony: bool = False       # lset parsmodel=yes (Tuffley-Steel)
+    codon_site_pattern: object = None   # [sites] -> pattern (reporting)
     symbeta_group: int = -1       # symdirihyperpr sampled beta (hyper)
     fixed_symbeta: float = -1.0   # fixed finite beta; -1 = infinity/off
     sympi_group: int = -1         # sampled multistate standard pi
@@ -612,6 +613,10 @@ class Engine:
         for u in range(len(uniq)):
             pat_idx[u] = seen[u]
         tp = compat[:, pat_idx, :].astype(np.float32)
+        # codon-site -> pattern map, used by posterior reporting
+        # (possel/siteomega/ancstates expand patterns back to the three
+        # original nucleotide columns per codon site)
+        cfg.codon_site_pattern = inverse.astype(np.int64)
         return tp, counts.astype(np.float32)
 
     def _doublet_tensors(self, cfg: DivCfg):

@@ -187,12 +187,22 @@ def param_columns(eng: Engine):
 
 class McmcRunner:
     def __init__(self, engine: Engine, file_prefix: str | None = None,
-                 log=print):
+                 log=print, report: dict | None = None):
         self.eng = engine
         self.mc = engine.mcmc
         self.prefix = file_prefix or self.mc.filename
         self.log = log
         self.cols = param_columns(engine)
+        # report ancstates/siterates/possel/siteomega columns
+        # (mcmc/report.py; reference src/mcmc.c:12456-13147)
+        self.reporter = None
+        if report:
+            from .report import Reporter
+            rep = Reporter(engine, report, log=log)
+            if rep.headers:
+                self.reporter = rep
+                log(f"   Reporting {len(rep.headers)} extra sample "
+                    "columns (report command)")
         self.n_trees = getattr(engine, "n_trees", 1)
         self.splits = [SplitCounter(self.mc.nruns)
                        for _ in range(self.n_trees)]
@@ -265,8 +275,11 @@ class McmcRunner:
             tfs = [open(path, mode) for path in self._tree_paths(r)]
             if not append:
                 pf.write(f"[ID: {seed_id:010d}]\n")
-                pf.write("Gen\tlnLike\tlnPrior\t"
-                         + "\t".join(n for n, _ in self.cols) + "\n")
+                hdr = "Gen\tlnLike\tlnPrior\t" \
+                    + "\t".join(n for n, _ in self.cols)
+                if self.reporter is not None:
+                    hdr += "\t" + "\t".join(self.reporter.headers)
+                pf.write(hdr + "\n")
                 for tf in tfs:
                     tree_header(tf, self.eng.tree_taxa_labels)
             self.pf.append(pf)
@@ -291,9 +304,11 @@ class McmcRunner:
             lnL = float(states["lnL"][slot])
             lnP = float(states["lnP"][slot])
             vals = [fn(states, slot) for _, fn in self.cols]
+            rep_vals = (self.reporter.values(states, slot)
+                        if self.reporter is not None else [])
             self.pf[r].write(
                 f"{gen}\t{lnL:.6e}\t{lnP:.6e}\t"
-                + "\t".join(f"{v:.6e}" for v in vals) + "\n")
+                + "\t".join(f"{v:.6e}" for v in vals + rep_vals) + "\n")
             for t_i in range(self.n_trees):
                 t = self.eng.extract_tree(states, slot, t_i)
                 rooted_tag = "&R" if t.rooted else "&U"

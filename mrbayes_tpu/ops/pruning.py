@@ -89,6 +89,63 @@ def root_partials(left, right, parent, blen, tip_partials, lam, U, Uinv,
     return partials, logscale
 
 
+def final_partials(left, right, parent, blen, tip_partials, lam, U, Uinv,
+                   cat_rates, pinv, n_tips: int, rate_mult=1.0):
+    """Down-pass + up-pass ("final" conditional likelihoods at every
+    node) for posterior reporting — the role of the reference's
+    CondLikeUp_* family (src/likelihood.c:4574-4938: final likes F_p are
+    built from the parent's finals via F_p[i] = D_p[i] ·
+    Σ_j (F_a[j]/Σ_i P_p[j,i]D_p[i]) P_p[j,i], the division removing p's
+    own message from the parent's final).
+
+    Returns (D [n_nodes,P,K,S], F [n_nodes,P,K,S], flog [n_nodes,P],
+    logscale [P]).  True values: D_root = D[root]·exp(logscale);
+    F_v = F[v]·exp(logscale + flog[v]) — every node's final partial
+    carries the same full-tree scale plus its own up-pass rescale, so
+    per-pattern posteriors need only logscale + flog for absolute terms
+    (the pinvar mixture); pure normalizations cancel them entirely."""
+    n_nodes = 2 * n_tips - 1
+    root = n_nodes - 1
+    npat = tip_partials.shape[1]
+    dtype = tip_partials.dtype
+
+    D, logscale = root_partials(
+        left, right, parent, blen, tip_partials, lam, U, Uinv,
+        cat_rates, pinv, n_tips, rate_mult)
+
+    # rebuild the same per-branch transition tensors as the down-pass
+    pinv0 = jnp.asarray(pinv, dtype)
+    base = jnp.asarray(rate_mult, dtype) / jnp.maximum(1.0 - pinv0, 1e-6)
+    tau = blen.astype(dtype) * base
+    eff = tau[:, None] * cat_rates[None, :].astype(dtype)
+    P = transition_probs(lam.astype(dtype), U.astype(dtype),
+                         Uinv.astype(dtype), eff)
+
+    F = jnp.zeros_like(D).at[root].set(D[root])
+    flog = jnp.zeros((n_nodes, npat), dtype)
+    order = postorder_internal(parent, n_tips)
+    rev = order[::-1]                       # root first, then top-down
+
+    def up_child(F_v, flog_v, c, F, flog):
+        D_c = D[c]
+        s_c = jnp.einsum("ksj,pkj->pks", P[c], D_c)   # message c -> parent
+        up = F_v / jnp.maximum(s_c, _TINY)
+        F_c = jnp.einsum("pks,ksj->pkj", up, P[c]) * D_c
+        m = jnp.maximum(jnp.max(F_c, axis=(1, 2)), _TINY)
+        F_c = F_c / m[:, None, None]
+        return F.at[c].set(F_c), flog.at[c].set(flog_v + jnp.log(m))
+
+    def step(carry, v):
+        F, flog = carry
+        F_v, flog_v = F[v], flog[v]
+        F, flog = up_child(F_v, flog_v, left[v], F, flog)
+        F, flog = up_child(F_v, flog_v, right[v], F, flog)
+        return (F, flog), None
+
+    (F, flog), _ = jax.lax.scan(step, (F, flog), rev)
+    return D, F, flog, logscale
+
+
 def root_clv(left, right, parent, blen, tip_partials, lam, U, Uinv,
              cat_rates, pinv, n_tips: int, rate_mult=1.0, pruner=None):
     """Root conditional likelihoods ([P, K, S]) and per-pattern log
