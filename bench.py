@@ -175,5 +175,173 @@ def bench_all():
     return 0
 
 
+REF_MB = "/tmp/mbbuild/src/mb"
+
+# NEXUS mrbayes-block bodies equivalent to ALL_CONFIGS, for timing the
+# reference binary (1 run x 4 chains unless noted).  hymfossil uses the
+# same model commands as HYMFOSSIL_SETUP.
+REF_CONFIGS = {
+    "kim_gtr_ig": ("kim.nex", ["lset nst=6 rates=invgamma"], 1, 4, 2000),
+    "finch_gtr_ig": ("finch.nex", ["lset nst=6 rates=invgamma"],
+                     1, 4, 4000),
+    "codon_m0_61state": ("replicase.nex", ["lset nucmodel=codon"],
+                         1, 4, 200),
+    "codon_ny98_61state": ("replicase.nex",
+                           ["lset nucmodel=codon omegavar=ny98"],
+                           1, 4, 200),
+    "hymfossil_rjmcmc_partitioned": ("hymfossil.nex", HYMFOSSIL_SETUP,
+                                     1, 4, 500),
+    "avian_2x32_chains": ("avian_ovomucoids.nex",
+                          ["lset nst=6 rates=invgamma"], 2, 32, 500),
+}
+
+
+def bench_reference():
+    """Time the reference binary (SIMD -O3 build) on the same configs;
+    merge ref_gens_per_sec + vs_baseline into BENCH_ALL.json.  Startup
+    cost is removed by subtracting an ngen=2 run."""
+    import os
+    import shutil
+    import subprocess
+    import tempfile
+    import time as _time
+
+    results = {}
+    for name, (data, setup, nruns, nchains, ngen) in REF_CONFIGS.items():
+        with tempfile.TemporaryDirectory() as td:
+            shutil.copy(os.path.join(EXAMPLES, data), td)
+            times = {}
+            for tag, n in (("warm", 2), ("full", ngen)):
+                body = "\n    ".join(s + ";" for s in setup)
+                nex = (f"#NEXUS\nbegin mrbayes;\n"
+                       f"    set autoclose=yes nowarnings=yes seed=7 "
+                       f"swapseed=9;\n    execute {data};\n    {body}\n"
+                       f"    mcmc ngen={n} nruns={nruns} "
+                       f"nchains={nchains} samplefreq={max(n, 100)} "
+                       f"printfreq={max(n, 100)} diagnfreq={max(n, 100)} "
+                       f"checkfreq=1000000 file=bref_{tag};\nend;\n")
+                path = os.path.join(td, f"b_{tag}.nex")
+                with open(path, "w") as f:
+                    f.write(nex)
+                t0 = _time.time()
+                r = subprocess.run([REF_MB, path], cwd=td,
+                                   capture_output=True, text=True,
+                                   timeout=3000)
+                times[tag] = _time.time() - t0
+                if "Analysis completed" not in r.stdout:
+                    print(json.dumps({"config": name, "error":
+                                      r.stdout[-500:]}), flush=True)
+                    times = None
+                    break
+            if times is None:
+                continue
+            dt = max(times["full"] - times["warm"], 1e-9)
+            rate = (ngen - 2) / dt
+            results[name] = round(rate, 1)
+            print(json.dumps({"config": name,
+                              "ref_gens_per_sec": round(rate, 1),
+                              "seconds": round(dt, 2)}), flush=True)
+    if os.path.exists("BENCH_ALL.json"):
+        recs = json.load(open("BENCH_ALL.json"))
+        for rec in recs:
+            if rec["config"] in results:
+                ref = results[rec["config"]]
+                rec["ref_gens_per_sec"] = ref
+                rec["vs_baseline"] = round(rec["gens_per_sec"] / ref, 3)
+        with open("BENCH_ALL.json", "w") as f:
+            json.dump(recs, f, indent=1)
+    return 0
+
+
+V5E_PEAK_BF16 = 197e12      # public TPU v5e spec
+V5E_HBM_BW = 819e9          # bytes/sec, public spec
+
+
+def bench_roofline():
+    """Isolated likelihood-evaluation throughput + roofline placement of
+    the Pallas pruning kernel (the BASELINE.json headline metric:
+    site-pattern lnL evals/sec/chip).
+
+    Model flops per eval per chain (pruning only): each internal node
+    does two [KSp,KSp]x[KSp,Ppad] matmuls = 2 * n_int * 2 * KSp^2 * Ppad
+    (ops/pruning_pallas.py cost_estimate).  Fraction-of-peak is quoted
+    against the v5e bf16 MXU peak (197 TFLOP/s); the kernel runs fp32,
+    whose MXU rate is lower, so the bf16 fraction is a lower bound on
+    utilization.  Also reports the arithmetic intensity and the
+    bandwidth-roofline bound."""
+    import time as _time
+
+    import jax
+    import numpy as np
+
+    from mrbayes_tpu import _cache_dir
+    jax.config.update("jax_compilation_cache_dir", _cache_dir())
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from mrbayes_tpu.cli import Interpreter
+    from mrbayes_tpu.mcmc.settings import McmcSettings
+
+    configs = [
+        ("primates_gtr_ig_4ch",
+         [f"execute {EXAMPLES}/primates.nex", "lset nst=6 rates=invgamma"],
+         4),
+        ("primates_gtr_ig_32ch",
+         [f"execute {EXAMPLES}/primates.nex", "lset nst=6 rates=invgamma"],
+         32),
+        ("codon_ny98_61state_4ch",
+         [f"execute {EXAMPLES}/replicase.nex",
+          "lset nucmodel=codon omegavar=ny98"], 4),
+    ]
+    results = []
+    for name, setup, nchains in configs:
+        it = Interpreter(log=lambda m: None)
+        for cmd in setup:
+            it.run_line(cmd, base_dir=".")
+        it.env.mcmc = McmcSettings(nruns=1, nchains=nchains, seed=3,
+                                   ngen=100)
+        eng = it.build_engine()
+        states, bk = eng.init_chains()
+        f = jax.jit(jax.vmap(eng.log_likelihood))
+        f(states).block_until_ready()       # compile
+        iters = 50
+        t0 = _time.time()
+        for _ in range(iters):
+            lnl = f(states)
+        lnl.block_until_ready()
+        dt = (_time.time() - t0) / iters
+        C = nchains
+        flops = 0
+        bytes_acc = 0
+        for i, cfg in enumerate(eng.div_cfg):
+            pr = eng._pruners[i]
+            if pr is None:
+                continue
+            n_int = pr.n_tips - 1
+            flops += 2 * C * n_int * 2 * pr.KSp ** 2 * pr.Ppad
+            bytes_acc += C * (n_int * 2 * pr.KSp ** 2
+                              + 2 * pr.KSp * pr.Ppad) * 4
+        achieved = flops / dt
+        intensity = flops / max(bytes_acc, 1)
+        bw_bound = intensity * V5E_HBM_BW
+        rec = {
+            "config": name,
+            "lnl_evals_per_sec_per_chip": round(C / dt, 1),
+            "eval_ms": round(dt * 1e3, 3),
+            "model_gflops_per_eval": round(flops / C / 1e9, 4),
+            "achieved_gflops": round(achieved / 1e9, 1),
+            "fraction_of_bf16_peak": round(achieved / V5E_PEAK_BF16, 5),
+            "arithmetic_intensity_flops_per_byte": round(intensity, 1),
+            "bandwidth_roofline_gflops": round(bw_bound / 1e9, 1),
+        }
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+    with open("ROOFLINE.json", "w") as f:
+        json.dump(results, f, indent=1)
+    return 0
+
+
 if __name__ == "__main__":
+    if "--reference" in sys.argv:
+        sys.exit(bench_reference())
+    if "--roofline" in sys.argv:
+        sys.exit(bench_roofline())
     sys.exit(bench_all() if "--all" in sys.argv else main())
