@@ -137,9 +137,15 @@ class Interpreter:
             self.run_command(toks, base_dir)
 
     # ------------------------------------------------------------------
+    # host-side summarization/plot commands run on process 0 only in a
+    # distributed launch; MCMC/model commands run on every process
+    HOST_ONLY = ("sump", "sumt", "sumss", "comparetree", "plot", "log")
+
     def run_command(self, toks: list[str], base_dir: str = "."):
         name = toks[0].lower()
         args = toks[1:]
+        if getattr(self, "_worker", False) and name in self.HOST_ONLY:
+            return
         handler = getattr(self, f"do_{name}", None)
         if handler is None:
             handler = self._abbrev_handler(name)
@@ -1052,6 +1058,20 @@ class Interpreter:
     def do_mcmcp(self, args, base_dir):
         self._set_mcmc_params(args)
 
+    def _analysis_mesh(self):
+        """Device mesh for a run: multi-process always shards; a
+        single-process multi-device host shards when requested via
+        MB_AUTOSHARD=1 (chains x site-patterns; reference analog: chains
+        over MPI ranks, src/mcmc.c:18331, plus the site axis the
+        reference never built)."""
+        import jax
+        if jax.device_count() <= 1:
+            return None
+        if jax.process_count() == 1 and not os.environ.get("MB_AUTOSHARD"):
+            return None
+        from .parallel.mesh import auto_mesh
+        return auto_mesh(self.env.mcmc.n_chains_total)
+
     def do_mcmc(self, args, base_dir):
         from .mcmc.run import McmcRunner
         self._set_mcmc_params(args)
@@ -1060,7 +1080,12 @@ class Interpreter:
             self.log(f"   [MB_MAX_NGEN: ngen capped at {cap}]")
             self.env.mcmc.ngen = int(cap)
         eng = self.build_engine()
-        runner = McmcRunner(eng, log=self.log, report=self.env.report)
+        mesh = self._analysis_mesh()
+        if mesh is not None and mesh.shape.get("sites", 1) > 1:
+            from .parallel.mesh import shard_engine_data
+            shard_engine_data(eng, mesh)
+        runner = McmcRunner(eng, log=self.log, report=self.env.report,
+                            mesh=mesh)
         runner.run()
         self._last_runner = runner
 
@@ -1316,16 +1341,45 @@ BANNER = """
 
 
 def main(argv=None):
-    argv = sys.argv[1:] if argv is None else argv
+    import argparse
+    parser = argparse.ArgumentParser(
+        prog="mrbayes_tpu",
+        description="TPU-native Bayesian phylogenetics (MrBayes 3.2 "
+                    "capability set)")
+    parser.add_argument("files", nargs="*", help="NEXUS batch files")
+    # multi-host launch (replaces the reference's mpirun,
+    # src/bayes.c:176-195): run the same command on every host with
+    # --nprocs N --procid <i> --coordinator host:port (or env vars
+    # MB_COORDINATOR / MB_NPROCS / MB_PROCID)
+    parser.add_argument("--coordinator",
+                        default=os.environ.get("MB_COORDINATOR"),
+                        help="host:port of process 0 (jax.distributed)")
+    parser.add_argument("--nprocs", type=int,
+                        default=int(os.environ.get("MB_NPROCS", 0)) or None)
+    parser.add_argument("--procid", type=int,
+                        default=(int(os.environ["MB_PROCID"])
+                                 if "MB_PROCID" in os.environ else None))
+    args = parser.parse_args(sys.argv[1:] if argv is None else argv)
     plat = os.environ.get("MB_PLATFORM")
     if plat:  # e.g. MB_PLATFORM=cpu to bypass the TPU backend
         import jax
         jax.config.update("jax_platforms", plat)
+    if args.coordinator:
+        from .parallel.mesh import init_distributed
+        init_distributed(args.coordinator, args.nprocs, args.procid)
+    import jax
+    is_main = jax.process_index() == 0 if args.coordinator else True
     from . import __version__
     interp = Interpreter()
-    print(BANNER.format(version=__version__))
-    if argv:
-        for path in argv:
+    if not is_main:
+        # rank-0-gated output + host-only commands skipped (reference
+        # MrBayesPrint gating, src/utils.c:1136)
+        interp._log_fn = lambda msg: None
+        interp._worker = True
+    if is_main:
+        print(BANNER.format(version=__version__))
+    if args.files:
+        for path in args.files:
             interp.execute_file(path)
         return 0
     # interactive REPL

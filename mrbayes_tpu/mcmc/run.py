@@ -185,12 +185,35 @@ def param_columns(eng: Engine):
     return cols
 
 
+class _NullFile:
+    """Sink for non-main processes: the reference gates all file output
+    to rank 0 (MrBayesPrint / cold-chain-owner -> rank-0 sends,
+    src/mcmc.c:13263-13410); here non-zero processes keep the same code
+    path but write nowhere."""
+    name = os.devnull
+
+    def write(self, s):
+        return len(s)
+
+    def flush(self):
+        pass
+
+    def close(self):
+        pass
+
+
 class McmcRunner:
     def __init__(self, engine: Engine, file_prefix: str | None = None,
-                 log=print, report: dict | None = None):
+                 log=print, report: dict | None = None, mesh=None):
+        import jax
         self.eng = engine
         self.mc = engine.mcmc
         self.prefix = file_prefix or self.mc.filename
+        self.mesh = mesh
+        self.multiprocess = jax.process_count() > 1
+        self.is_main = jax.process_index() == 0
+        if not self.is_main:
+            log = lambda msg: None   # noqa: E731  (rank-0-gated logging)
         self.log = log
         self.cols = param_columns(engine)
         # report ancstates/siterates/possel/siteomega columns
@@ -239,7 +262,7 @@ class McmcRunner:
             f.writelines(kept)
 
     def _open_files(self, append: bool, start_gen: int = 0):
-        if append:
+        if append and self.is_main:
             for r in range(self.mc.nruns):
                 base = f"{self.prefix}.run{r + 1}"
                 self._truncate_after(base + ".p", start_gen, False)
@@ -261,6 +284,15 @@ class McmcRunner:
         self.pf, self.tf = [], []
         self.gf: list[list] = []       # BEST: per-run gene-tree files
         seed_id = self.mc.seed
+        if not self.is_main:
+            self.pf = [_NullFile() for _ in range(self.mc.nruns)]
+            self.tf = [[_NullFile() for _ in self._tree_paths(r)]
+                       for r in range(self.mc.nruns)]
+            if getattr(self.eng, "best", False):
+                self.gf = [[_NullFile() for _ in range(self.eng.n_div)]
+                           for _ in range(self.mc.nruns)]
+            self.mcmcf = _NullFile()
+            return
 
         def tree_header(f, labels):
             f.write(f"#NEXUS\n[ID: {seed_id:010d}]\n[Param: tree]\n"
@@ -299,7 +331,15 @@ class McmcRunner:
             self.mcmcf.write(f"[ID: {seed_id:010d}]\n")
             self.mcmcf.write("Gen\tAvgStdDev(s)\n")
 
+    def _np(self, x) -> np.ndarray:
+        """Host copy of a possibly multi-process-sharded array."""
+        if not self.multiprocess:
+            return np.asarray(x)
+        from ..parallel.mesh import gather_to_host
+        return gather_to_host(x)
+
     def _write_sample(self, gen: int, states, bk):
+        states, bk = self._host_view(states, bk)
         for r, slot in enumerate(self.eng.cold_indices(bk)):
             lnL = float(states["lnL"][slot])
             lnP = float(states["lnP"][slot])
@@ -344,6 +384,16 @@ class McmcRunner:
             return " ".join(f"{float(x):.9e}" for x in flat)
         return " ".join(str(int(x)) for x in flat)
 
+    def _host_view(self, states, bk):
+        """Host copies for sampling/checkpoint: a no-op single-process;
+        multi-process, an allgather so every process sees the full chain
+        state (reference Reassemble* gather, src/mcmc.c:14313 — here
+        replicated so diagnostics need no broadcast back)."""
+        if not self.multiprocess:
+            return states, bk
+        from ..parallel.mesh import gather_to_host
+        return gather_to_host(states), gather_to_host(bk)
+
     def write_checkpoint(self, states, bk, gen: int):
         """Rotated self-describing NEXUS checkpoint (the reference's .ckp
         is a self-executing NEXUS file, PrintCheckPoint src/mcmc.c:11192;
@@ -352,6 +402,9 @@ class McmcRunner:
         reference); the exact device state rides in an `mbtpu_state`
         block — NEXUS readers skip unknown blocks — as one `array`
         command per state/bookkeeping key."""
+        states, bk = self._host_view(states, bk)
+        if not self.is_main:
+            return
         mc = self.mc
         nc = mc.nchains
         lines = ["#NEXUS",
@@ -460,8 +513,16 @@ class McmcRunner:
             self.log(f"   Resuming from checkpoint at generation {start_gen}")
         else:
             states, bk = eng.init_chains()
+        if self.mesh is not None:
+            import jax
+            from ..parallel.mesh import shard_chains
+            states, bk = shard_chains(eng, self.mesh, states, bk)
+            shape = dict(zip(self.mesh.axis_names,
+                             self.mesh.devices.shape))
+            self.log(f"   Sharding over mesh {shape} "
+                     f"({jax.process_count()} process(es))")
         self._open_files(append=start_gen > 0, start_gen=start_gen)
-        lnls = np.asarray(states["lnL"])
+        lnls = self._np(states["lnL"])
         self.log(f"   Running Markov chain ( {mc.nruns} runs x {mc.nchains} "
                  f"chains, {mc.ngen} generations )")
         self.log("   Initial log likelihoods: "
@@ -506,8 +567,8 @@ class McmcRunner:
                 self._write_sample(gen, states, bk)
             self.phase_times["sample_io"] += time.time() - tb
             if gen % mc.printfreq == 0 or gen == mc.ngen:
-                lnls = np.asarray(states["lnL"])
-                cold = eng.cold_indices(bk)
+                lnls = self._np(states["lnL"])
+                cold = eng.cold_indices({"temp_id": self._np(bk["temp_id"])})
                 rate = (gen - start_gen) / max(time.time() - t0, 1e-9)
                 eta = (mc.ngen - gen) / max(rate, 1e-9)
                 self.log(f"   {gen} -- "
@@ -554,9 +615,11 @@ class McmcRunner:
                  + "  ".join(f"{k} {v:.2f}s ({v / max(dt, 1e-9):.0%})"
                              for k, v in pt.items())
                  + f"  other {max(dt - tracked, 0.0):.2f}s")
-        for r, slot in enumerate(eng.cold_indices(bk)):
+        lnls = self._np(states["lnL"])
+        cold = eng.cold_indices({"temp_id": self._np(bk["temp_id"])})
+        for r, slot in enumerate(cold):
             best = max((s["lnLike"] for s in self.param_samples[r]),
-                       default=float(states["lnL"][slot]))
+                       default=float(lnls[slot]))
             self.log(f"   Likelihood of best state for \"cold\" chain of "
                      f"run {r + 1} was {best:.2f}")
         self._print_move_summary(bk)
@@ -572,8 +635,8 @@ class McmcRunner:
                    for sc in self.splits)
 
     def _print_move_summary(self, bk):
-        tries = np.asarray(bk["tries_total"]).sum(0)
-        accepts = np.asarray(bk["accepts_total"]).sum(0)
+        tries = self._np(bk["tries_total"]).sum(0)
+        accepts = self._np(bk["accepts_total"]).sum(0)
         self.log("   Acceptance rates per move (all chains):")
         for i, mv in enumerate(self.eng.moves):
             if tries[i]:
@@ -587,8 +650,8 @@ class McmcRunner:
         src/mcmc.c:13579)."""
         if self.mc.nchains < 2:
             return
-        st = np.asarray(bk["swap_tries"])
-        sa = np.asarray(bk["swap_accepts"])
+        st = self._np(bk["swap_tries"])
+        sa = self._np(bk["swap_accepts"])
         nc = self.mc.nchains
         for r in range(self.mc.nruns):
             self.log(f"   Chain swap information for run {r + 1} "

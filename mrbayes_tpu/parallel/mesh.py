@@ -103,6 +103,21 @@ def shard_chains(eng: Engine, mesh: Mesh, states: dict, bk: dict):
     return states, bk_out
 
 
+def auto_mesh(n_chains_total: int, devices=None) -> Mesh:
+    """Default mesh for a run: as many chain shards as divide both the
+    chain count and the device count, remaining devices on the ``sites``
+    axis.  The reference's analog constraint is numGlobalChains divisible
+    by nProcs (src/mcmc.c:18331-18357); here non-dividing device counts
+    degrade gracefully to fewer chain shards + site sharding instead of
+    erroring."""
+    import math
+    devices = list(devices if devices is not None else jax.devices())
+    n_dev = len(devices)
+    chain_shards = math.gcd(n_chains_total, n_dev)
+    site_shards = n_dev // chain_shards
+    return make_mesh(chain_shards, site_shards, devices)
+
+
 def init_distributed(coordinator: str | None = None,
                      num_processes: int | None = None,
                      process_id: int | None = None) -> None:
@@ -112,3 +127,21 @@ def init_distributed(coordinator: str | None = None,
         kwargs = dict(coordinator_address=coordinator,
                       num_processes=num_processes, process_id=process_id)
     jax.distributed.initialize(**kwargs)
+
+
+def gather_to_host(tree):
+    """Full host copies of (possibly multi-process sharded) arrays on
+    every process — the role of the reference's ReassembleParamVals
+    gather to rank 0 (src/mcmc.c:14313), except every process gets the
+    result so diagnostics stay replicated and no broadcast-back is
+    needed."""
+    import numpy as np
+    if jax.process_count() == 1:
+        return jax.tree.map(np.asarray, tree)
+    from jax.experimental import multihost_utils
+    return jax.tree.map(
+        lambda a: np.asarray(
+            multihost_utils.process_allgather(a, tiled=True))
+        if hasattr(a, "sharding") and not a.is_fully_addressable
+        else np.asarray(a),
+        tree)
