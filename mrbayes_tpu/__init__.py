@@ -52,4 +52,28 @@ def _enable_compile_cache():
         pass
 
 
+def _set_matmul_precision():
+    """Full-f32 matmul accumulation everywhere.
+
+    JAX's default matmul precision on TPU (and this fleet's CPU backend)
+    runs float32 contractions through reduced-precision (bf16-pass)
+    multiplies, which biases per-pattern log-likelihoods by ~1e-2 —
+    measured against a float64 oracle and the reference binary (which
+    computes full-float32 like the SSE/FMA kernels it ships,
+    src/likelihood.c).  The pruning kernel is latency-bound, not
+    FLOP-bound (see ROOFLINE.json), so the extra MXU passes are nearly
+    free; correctness wins.  Override with MB_MATMUL_PRECISION=default
+    to restore the fast-and-loose behavior."""
+    import os
+    pref = os.environ.get("MB_MATMUL_PRECISION", "highest")
+    if pref in ("default", ""):
+        return
+    try:
+        import jax
+        jax.config.update("jax_default_matmul_precision", pref)
+    except Exception:
+        pass
+
+
 _enable_compile_cache()
+_set_matmul_precision()

@@ -59,6 +59,8 @@ class Division:
     user_index: int = 0          # index of the user-visible partition subset
     ctype: str = "unordered"     # standard data: unordered|ordered|irreversible
                                  # (reference ctype command, src/command.c:3009)
+    cont: np.ndarray | None = None   # continuous chars [ntax, nchar_div]
+                                     # (NaN = missing); patterns unused
 
     @property
     def ntax(self) -> int:
@@ -121,6 +123,21 @@ def make_divisions(matrix: CharacterMatrix,
             raise ValueError(f"partition subset {gi} mixes datatypes {dts}")
         dt = dts.pop()
         sub = matrix.codes[:, cols]
+        if dt is DataType.CONTINUOUS:
+            vals = matrix.cont_values[:, cols]
+            if np.isnan(vals).any():
+                raise ValueError(
+                    "missing continuous values are not supported yet "
+                    "(the PIC likelihood needs complete tip data)")
+            divisions.append(Division(
+                index=len(divisions), dtype=dt, n_states=0,
+                patterns=np.zeros((matrix.ntax, 1), np.uint32),
+                weights=np.ones(1), char_ids=np.array(cols),
+                pattern_of_char=np.zeros(len(cols), np.int64),
+                name=(names[gi] if names and gi < len(names)
+                      else str(gi + 1)),
+                user_index=gi, cont=vals))
+            continue
         if dt is DataType.STANDARD:
             divisions.extend(_standard_subdivisions(sub, np.array(cols),
                                                     gi, names, matrix,

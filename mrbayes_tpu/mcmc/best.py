@@ -120,6 +120,134 @@ def ploidy_factor(ploidy: str) -> float:
     return {"diploid": 4.0, "haploid": 2.0, "zlinked": 3.0}[ploidy.lower()]
 
 
+# ---------------------------------------------------------------------
+# dedicated species-tree proposal from gene-tree minimum depths
+# (reference Move_SpeciesTree, src/best.c:1715: GetMinDepthMatrix :1026,
+# ModifyDepthMatrix :1202, GetSpeciesTreeFromMinDepths :476,
+# GetMeanDist :299, LnProposalProbSpeciesTree :1137)
+
+def min_depth_matrix(state, tip_species, G: int, n_tips: int,
+                     S: int) -> jnp.ndarray:
+    """[S, S] symmetric: minimum over genes of the age of the shallowest
+    gene-tree node containing tips of both species (diag = _BIG)."""
+    depth = jnp.full((S, S), _BIG)
+    for g in range(G):
+        D = gene_species_sets(state["parent"][g], tip_species, n_tips, S)
+        has = (D[:, :, None] > 0) & (D[:, None, :] > 0)      # [V, S, S]
+        node_min = jnp.min(
+            jnp.where(has, state["age"][g][:, None, None], _BIG), axis=0)
+        depth = jnp.minimum(depth, node_min)
+    return depth.at[jnp.arange(S), jnp.arange(S)].set(_BIG)
+
+
+def _cross_masks(s_left, s_right, s_parent, S: int):
+    """[S-1, S, S] bool: pairs (i left-of-m, j right-of-m) per internal
+    species node m = S..2S-2."""
+    clade = species_clades(s_parent, S)                      # [M, S]
+    L = clade[s_left[S:]] > 0
+    R = clade[s_right[S:]] > 0
+    return (L[:, :, None] & R[:, None, :]) \
+        | (R[:, :, None] & L[:, None, :])
+
+
+def _mean_min_dist(s_left, s_right, s_parent, s_age, depth, S: int):
+    cross = _cross_masks(s_left, s_right, s_parent, S)
+    d = jnp.where(cross, depth[None], _BIG)
+    mind = jnp.min(d, axis=(1, 2)) - s_age[S:]
+    return jnp.mean(mind)
+
+
+def _ln_proposal_prob(s_left, s_right, s_parent, s_age, depth, lam,
+                      S: int):
+    """Density of a species tree under the truncated-exponential
+    depth-matrix proposal (reference LnProposalProbSpeciesTree,
+    src/best.c:1137).  The x==1 special case of the reference is the
+    exact limit of the general formula, recovered here by clamping."""
+    cross = _cross_masks(s_left, s_right, s_parent, S)       # [S-1,S,S]
+    # halve double counting: keep upper triangle only
+    iu = jnp.triu(jnp.ones((S, S), bool), 1)
+    cross = cross & iu[None]
+    dist = jnp.maximum(depth[None] - s_age[S:, None, None], 0.0)
+    norm = jnp.maximum(1.0 - jnp.exp(-lam * depth[None]), 1e-30)
+    e = jnp.exp(-lam * dist)
+    dens = lam * e / norm
+    prob = jnp.maximum((1.0 - e) / norm, 1e-30)
+    sumdr = jnp.sum(jnp.where(cross, dens / prob, 0.0), axis=(1, 2))
+    logprod = jnp.sum(jnp.where(cross, jnp.log(prob), 0.0), axis=(1, 2))
+    node_ln = jnp.log(jnp.maximum(sumdr, 1e-30)) + logprod
+    total = jnp.sum(node_ln)
+    return jnp.where(jnp.isnan(total), 0.0, total)
+
+
+def make_species_tree_move(G: int, S: int, tip_species, n_tips: int):
+    """Traced Move_SpeciesTree: propose a whole new species tree by
+    perturbing the gene-tree minimum-depth matrix with truncated
+    exponentials and single-linkage-clustering the result back into a
+    clock tree (the reference's sorted-pair polytomy resolution,
+    src/best.c:476, expressed as a fori_loop of masked merges).  The
+    joint MSC prior ratio is left to the engine's generic MH step; the
+    returned Hastings ratio is backward - forward proposal density.
+    ``tuning`` is the reference's lambda divider (lambdadiv, default
+    1.2, autotuned as a multiplier)."""
+    ii, jj = np.triu_indices(S, 1)
+    ii_j, jj_j = jnp.asarray(ii), jnp.asarray(jj)
+    P = len(ii)
+    M = 2 * S - 1
+
+    def mv(key, state, tuning):
+        depth = min_depth_matrix(state, tip_species, G, n_tips, S)
+        dvec = depth[ii_j, jj_j]                             # [P]
+        lam_f = 1.0 / jnp.maximum(
+            _mean_min_dist(state["s_left"], state["s_right"],
+                           state["s_parent"], state["s_age"], depth, S)
+            * tuning, 1e-12)
+        # truncated-exponential perturbation (ModifyDepthMatrix)
+        u = jax.random.uniform(key, (P,))
+        delta = jnp.log1p(-u * (1.0 - jnp.exp(-lam_f * dvec))) / (-lam_f)
+        dmod = dvec - delta
+        # single-linkage clustering of the modified depths
+        order = jnp.argsort(dmod)
+        root_of = jnp.arange(S, dtype=jnp.int32)
+        sl = jnp.zeros((M,), jnp.int32)
+        sr = jnp.zeros((M,), jnp.int32)
+        sp = jnp.full((M,), -1, jnp.int32)
+        sa = jnp.zeros((M,), jnp.float32)
+
+        def body(t, carry):
+            root_of, sl, sr, sp, sa, cnt = carry
+            p = order[t]
+            ci = root_of[ii_j[p]]
+            cj = root_of[jj_j[p]]
+            merge = ci != cj
+            k = S + cnt
+            sl2 = sl.at[k].set(ci)
+            sr2 = sr.at[k].set(cj)
+            sp2 = sp.at[ci].set(k).at[cj].set(k)
+            sa2 = sa.at[k].set(dmod[p].astype(jnp.float32))
+            member = (root_of == ci) | (root_of == cj)
+            root2 = jnp.where(member, k, root_of)
+            pick = lambda a, b: jnp.where(merge, a, b)   # noqa: E731
+            return (pick(root2, root_of), pick(sl2, sl), pick(sr2, sr),
+                    pick(sp2, sp), pick(sa2, sa),
+                    cnt + merge.astype(jnp.int32))
+
+        root_of, sl, sr, sp, sa, cnt = jax.lax.fori_loop(
+            0, P, body, (root_of, sl, sr, sp, sa, jnp.int32(0)))
+        lam_b = 1.0 / jnp.maximum(
+            _mean_min_dist(sl, sr, sp, sa, depth, S) * tuning, 1e-12)
+        ln_fwd = _ln_proposal_prob(sl, sr, sp, sa, depth, lam_f, S)
+        ln_bwd = _ln_proposal_prob(state["s_left"], state["s_right"],
+                                   state["s_parent"], state["s_age"],
+                                   depth, lam_b, S)
+        out = {**state, "s_left": sl.astype(state["s_left"].dtype),
+               "s_right": sr.astype(state["s_right"].dtype),
+               "s_parent": sp.astype(state["s_parent"].dtype),
+               "s_age": sa.astype(state["s_age"].dtype)}
+        return out, ln_bwd - ln_fwd
+
+    return mv
+
+
 def init_compatible_trees(n_tips: int, n_species: int, tip_species,
                           rng: np.random.Generator, n_genes: int):
     """Starting state: a random species clock tree with small depths and

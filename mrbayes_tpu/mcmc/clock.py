@@ -755,6 +755,29 @@ def move_age_slider(key, state, tuning, n_tips):
     return {**state, "age": age.at[v].set(new)}, jnp.float32(0.0)
 
 
+def move_node_slider_clock(key, state, tuning, n_tips):
+    """Windowed node-age slide with reflection (reference
+    Move_NodeSliderClock, src/proposal.c:8570: newDepth = oldDepth +
+    window*(u-1/2), reflected into (minDepth, maxDepth)).  The window is
+    the autotuned parameter; reflection keeps the proposal symmetric
+    (Hastings 0).  Complements the uniform-in-bounds age_slider: a tuned
+    window mixes better when the feasible interval is wide."""
+    root = 2 * n_tips - 2
+    k1, k2 = jax.random.split(key)
+    idx = jnp.arange(2 * n_tips - 1)
+    mask = (idx >= n_tips) & (idx != root)
+    v = _masked_choice(k1, mask)
+    age = state["age"]
+    lo = jnp.maximum(age[state["left"][v]], age[state["right"][v]])
+    hi = age[state["parent"][v]]
+    width = jnp.maximum(hi - lo, 1e-12)
+    new = age[v] + tuning * (jax.random.uniform(k2) - 0.5)
+    # fold into (lo, hi) by repeated reflection (period 2*width)
+    x = jnp.mod(new - lo, 2.0 * width)
+    new = lo + jnp.where(x > width, 2.0 * width - x, x)
+    return {**state, "age": age.at[v].set(new)}, jnp.float32(0.0)
+
+
 def move_tree_stretch(key, state, tuning, n_tips):
     """Multiply all internal ages by exp(lambda(u-1/2)); Hastings =
     n_internal * log m (reference Move_TreeStretch src/proposal.c:17250)."""
@@ -775,6 +798,46 @@ def move_root_age(key, state, tuning, n_tips):
     ok = new > lo
     return ({**state, "age": age.at[root].set(new)},
             jnp.where(ok, jnp.log(m), NEG_INF))
+
+
+def move_subtree_swap_clock(key, state, tuning, n_tips):
+    """Clock subtree swap (role of the reference's extending subtree
+    swap for clock trees, Move_ExtSSClock src/proposal.c:4621): exchange
+    the subtrees hanging from two nodes a, b that are not
+    ancestor-related and whose receiving parents are older than the
+    arriving subtree roots.  Pair chosen uniformly among valid pairs;
+    the valid-pair count changes with the topology, so
+    lnH = log(n_valid_before) - log(n_valid_after)."""
+    from ..ops.traversal import ancestor_matrix
+    root = 2 * n_tips - 2
+    n_nodes = 2 * n_tips - 1
+    parent, age = state["parent"], state["age"]
+    k1 = key
+
+    def valid_pairs(parent, age):
+        A = ancestor_matrix(parent) > 0          # [u, v]: v anc-or-self u
+        rel = A | A.T                            # includes a == b
+        pa = age[jnp.maximum(parent, 0)]
+        notroot = jnp.arange(n_nodes) != root
+        ok = (~rel) & notroot[:, None] & notroot[None, :] \
+            & (pa[:, None] > age[None, :] + 1e-12) \
+            & (pa[None, :] > age[:, None] + 1e-12)
+        return jnp.triu(ok, 1)
+
+    ok_f = valid_pairs(parent, age)
+    n_f = jnp.sum(ok_f)
+    flat = jnp.where(ok_f.reshape(-1), 0.0, NEG_INF)
+    pick = jax.random.categorical(k1, flat)
+    a = pick // n_nodes
+    b = pick % n_nodes
+    pa_, pb_ = parent[a], parent[b]
+    st = _replace_child(state, pa_, a, b)
+    st = _replace_child(st, pb_, b, a)
+    ok_b = valid_pairs(st["parent"], age)
+    n_b = jnp.sum(ok_b)
+    valid = n_f > 0
+    lnH = jnp.log(jnp.maximum(n_f, 1)) - jnp.log(jnp.maximum(n_b, 1))
+    return st, jnp.where(valid, lnH, NEG_INF)
 
 
 def move_nni_clock(key, state, tuning, n_tips):

@@ -76,6 +76,7 @@ class DivCfg:
     mixt_group: int = -1          # rates=kmixture sampled category rates
     parsimony: bool = False       # lset parsmodel=yes (Tuffley-Steel)
     codon_site_pattern: object = None   # [sites] -> pattern (reporting)
+    brownscale_group: int = -1    # continuous data: sampled sigma^2
     symbeta_group: int = -1       # symdirihyperpr sampled beta (hyper)
     fixed_symbeta: float = -1.0   # fixed finite beta; -1 = infinity/off
     sympi_group: int = -1         # sampled multistate standard pi
@@ -137,6 +138,14 @@ class Engine:
                            # (fixed-capacity stand-in for the reference's
                            # variable-length event arrays, bayes.h:711-714)
         assert len(div_settings) == len(dataset.divisions)
+        for dv, s in zip(dataset.divisions, div_settings):
+            if not s.coding:
+                # datatype-dependent coding default (reference
+                # SetModelDefaults, src/model.c:18562-18576)
+                s.coding = ("variable" if dv.dtype is DataType.STANDARD
+                            else "noabsencesites"
+                            if dv.dtype is DataType.RESTRICTION
+                            else "all")
         ts = self.tree_settings
         self.best = bool(ts.speciestree)
         if self.best:
@@ -355,7 +364,19 @@ class Engine:
             if links and param in links:
                 key = (param, links[param][d])
             else:
-                key = (param, signature)
+                # default linking requires compatible datatypes: the
+                # reference links parameters only when IsModelSame holds
+                # (src/model.c:13827), which implies same datatype class
+                # and state count; DNA and RNA are interchangeable there
+                dv = self.data.divisions[d]
+                dclass = ("nuc" if dv.dtype in (DataType.DNA, DataType.RNA)
+                          else dv.dtype.value)
+                # state-space-sized params additionally need matching
+                # state counts (standard-data buckets of one user
+                # division share dimension-free params like shape)
+                dim = (dv.n_states if param.startswith(("pi", "sympi"))
+                       else 0)
+                key = (param, dclass, dim, signature)
             store = counters.setdefault(param, {})
             if key not in store:
                 store[key] = len(store)
@@ -369,6 +390,21 @@ class Engine:
                 # Likelihood_Pars src/likelihood.c:7593)
                 cfg.parsimony = True
                 cfg.fixed_pi = np.full(div.n_states, 1.0 / div.n_states)
+                self.div_cfg.append(cfg)
+                continue
+            if div.dtype is DataType.CONTINUOUS:
+                # Brownian-motion characters: one sampled variance rate
+                # sigma^2 per link group (reference brownscalepr,
+                # src/command.c:14605; likelihood ops/brownian.py —
+                # the reference's own Likelihood_Cont is a stub)
+                cfg.brownscale_group = group_of("brownscale", d,
+                                                repr(s.brownscalepr))
+                bc = s.browncorrpr
+                if bc.kind != "fixed" or (bc.params
+                                          and float(bc.params[0]) != 0.0):
+                    raise ValueError(
+                        "browncorrpr: only fixed(0) (independent "
+                        "characters) is supported")
                 self.div_cfg.append(cfg)
                 continue
             is_nuc = div.dtype in (DataType.DNA, DataType.RNA)
@@ -540,7 +576,9 @@ class Engine:
                                    ("mixtrates", cfg.mixt_group,
                                     Prior("dirichlet", (1.0,))),
                                    ("symbeta", cfg.symbeta_group,
-                                    s.symdirihyperpr)]:
+                                    s.symdirihyperpr),
+                                   ("brownscale", cfg.brownscale_group,
+                                    s.brownscalepr)]:
                 if gid >= 0:
                     self.group_priors.setdefault((param, gid), pr)
             if cfg.ny98_group >= 0:
@@ -680,8 +718,16 @@ class Engine:
         self.tip_partials = []
         self.weights = []
         self.const_masks = []
+        self._cont_values = {}
         for cfg in self.div_cfg:
             d = cfg.div
+            if d.dtype is DataType.CONTINUOUS:
+                self._cont_values[len(self.tip_partials)] = jnp.asarray(
+                    d.cont, jnp.float32)
+                self.tip_partials.append(jnp.zeros((d.ntax, 1, 1)))
+                self.weights.append(jnp.ones((1,)))
+                self.const_masks.append(None)
+                continue
             if cfg.codon is not None:
                 tp, w = self._codon_tensors(cfg)
                 self.tip_partials.append(jnp.asarray(tp))
@@ -712,6 +758,9 @@ class Engine:
         self._pruners: list = []
         for i, cfg in enumerate(self.div_cfg):
             s = cfg.settings
+            if cfg.div.dtype is DataType.CONTINUOUS:
+                self._pruners.append(None)
+                continue
             if cfg.codon is not None:
                 k = 3 if (cfg.ny98_group >= 0 or cfg.m3_group >= 0) else 1
                 coding = "all"
@@ -742,6 +791,10 @@ class Engine:
         v_typ = 0.03    # reference default tuningParam[2] (model.c:22598)
         for cfg in self.div_cfg:
             dv = cfg.div
+            if dv.dtype is DataType.CONTINUOUS:
+                masks.append(dv.patterns.astype(np.uint32))
+                factors.append(dv.weights * 0.0)
+                continue
             S = max(2, min(dv.n_states, 32))
             divf = -np.log(max(1e-10, 1.0 / S
                                - np.exp(-S / (S - 1.0) * v_typ) / S))
@@ -808,6 +861,11 @@ class Engine:
             mk.append(MoveSpec("gene_tree_stretch",
                                gene_move(C.move_tree_stretch),
                                3.0, 2.0 * np.log(1.1), 0.25, 1, 1e-4, 5.0))
+            from . import best as B
+            mk.append(MoveSpec(
+                "sp_distmatrix",
+                B.make_species_tree_move(G, S, self.tip_species, n),
+                10.0, 1.2, 0.25, 1, 1e-4, 20.0))
             mk.append(MoveSpec("sp_nni", species_move(C.move_nni_clock),
                                3.0, 0.0, tunable=False))
             mk.append(MoveSpec("sp_spr", species_move(C.move_spr_clock),
@@ -838,6 +896,14 @@ class Engine:
             mk.append(MoveSpec("nni_clock",
                                partial(C.move_nni_clock, n_tips=n),
                                5.0, 0.0, tunable=False))
+            mk.append(MoveSpec("subtree_swap_clock",
+                               partial(C.move_subtree_swap_clock,
+                                       n_tips=n),
+                               3.0, 0.0, tunable=False))
+            mk.append(MoveSpec("node_slider_clock",
+                               partial(C.move_node_slider_clock,
+                                       n_tips=n),
+                               5.0, 0.05, 0.25, 1, 1e-5, 10.0))
             mk.append(MoveSpec("spr_clock",
                                partial(C.move_spr_clock, n_tips=n),
                                5.0, 0.0, tunable=False))
@@ -1024,6 +1090,11 @@ class Engine:
                     wrap(M.make_pars_spr_move(self._pars_masks,
                                               self._pars_factors)),
                     5.0, 0.1, 0.25, -1, 0.01, 1.0))
+                mk.append(MoveSpec(
+                    "pars_tbr",
+                    wrap(M.make_pars_tbr_move(self._pars_masks,
+                                              self._pars_factors)),
+                    3.0, 0.1, 0.25, -1, 0.01, 1.0))
             mk.append(MoveSpec("blen_mult",
                                wrap(M.move_blen_multiplier),
                                15.0, 2.0 * np.log(1.6), 0.25, 1, 1e-3, 20.0))
@@ -1186,6 +1257,12 @@ class Engine:
                 partial(M.make_multiplier_move("covswitch", 1e-3, 1e3),
                         n_tips=n), 1.5, 2.0 * np.log(1.5), 0.25, 1,
                 1e-3, 20.0))
+        if self.n_groups.get("brownscale"):
+            mk.append(MoveSpec(
+                "brownscale_mult",
+                partial(M.make_multiplier_move("brownscale", 1e-6, 1e6),
+                        n_tips=n), 1.5, 2.0 * np.log(1.5), 0.25, 1,
+                1e-3, 20.0))
         if self.n_groups.get("tratio"):
             mk.append(MoveSpec(
                 "tratio_mult",
@@ -1207,10 +1284,14 @@ class Engine:
                 "ratemult_dir",
                 partial(M.make_simplex_move("ratemult"), n_tips=n),
                 1.5, 300.0, 0.25, -1, 1.0, 1e5))
+        # omegaprobs/m3probs are in here because the NY98/M3 mixture is
+        # normalized jointly across classes: changing the class
+        # frequencies rescales every class Q (src/likelihood.c:10702)
         q_moves = {"pi_dir", "pi20_dir", "pi2_dir", "pi61_dir", "pi16_dir",
                    "omega_mult", "omega1_slider", "omega3_mult",
                    "m3omega_slider", "aamodel_jump", "revmat_dir",
-                   "revmat_splitmerge", "revmat_dirmix", "tratio_mult"}
+                   "revmat_splitmerge", "revmat_dirmix", "tratio_mult",
+                   "omegaprobs_dir", "m3probs_dir"}
         for m in mk:
             m.updates_q = m.name in q_moves
         self.moves = mk
@@ -1423,6 +1504,8 @@ class Engine:
             st["ratecorr"] = jnp.zeros((self.n_groups["ratecorr"],))
         if self.n_groups.get("symbeta"):
             st["symbeta"] = jnp.ones((self.n_groups["symbeta"],))
+        if self.n_groups.get("brownscale"):
+            st["brownscale"] = jnp.ones((self.n_groups["brownscale"],))
         for field, ng in self.n_groups.items():
             if field.startswith("sympi"):
                 k = int(field[5:])
@@ -1501,16 +1584,20 @@ class Engine:
             single, transition, nonsyn = cfg.codon.pair_classes()
             kappa = (state["tratio"][cfg.tratio_group]
                      if cfg.tratio_group >= 0 else jnp.float32(1.0))
+            weights = None
             if cfg.ny98_group >= 0:
                 g = cfg.ny98_group
                 omegas = jnp.stack([state["omega1"][g], jnp.float32(1.0),
                                     state["omega3"][g]])
+                weights = state["omegaprobs"][g]
             elif cfg.m3_group >= 0:
                 omegas = state["m3omega"][cfg.m3_group]
+                weights = state["m3probs"][cfg.m3_group]
             else:
                 omegas = state["omega"][cfg.omega_group][None]
             Q = codon_q(omegas, kappa, pi, jnp.asarray(single),
-                        jnp.asarray(transition), jnp.asarray(nonsyn))
+                        jnp.asarray(transition), jnp.asarray(nonsyn),
+                        cat_weights=weights)
             return Q, pi
         if cfg.doublet:
             from ..models.substitution import doublet_q
@@ -1572,6 +1659,8 @@ class Engine:
                            # rebuilt inline in _covarion_loglik
             if self.div_cfg[i].parsimony:
                 continue   # Tuffley-Steel: no Q matrix
+            if self.div_cfg[i].div.dtype is DataType.CONTINUOUS:
+                continue   # Brownian motion: no Q matrix
             c = self.div_cfg[i]
             if c.sympi_group >= 0 or c.symbeta_group >= 0 \
                     or c.fixed_symbeta > 0:
@@ -1627,6 +1716,8 @@ class Engine:
     def _division_lnL(self, state, i, blen):
         cfg = self.div_cfg[i]
         s = cfg.settings
+        if cfg.div.dtype is DataType.CONTINUOUS:
+            return self._brownian_lnL(state, i, cfg, blen)
         if cfg.parsimony:
             return self._pars_lnL(state, i, cfg)
         if cfg.sympi_group >= 0 or cfg.symbeta_group >= 0 \
@@ -1709,6 +1800,18 @@ class Engine:
         n_chars = float(cfg.div.weights.sum())
         k = max(2, cfg.div.n_states)
         return -(T + n_chars) * np.log(float(k))
+
+    def _brownian_lnL(self, state, i, cfg: DivCfg, blen):
+        """Continuous characters: Brownian-motion REML via independent
+        contrasts (ops/brownian.py).  sigma^2 is the sampled brownscale
+        parameter; characters are independent (browncorrpr fixed(0), the
+        reference default src/bayes.c:792).  Continuous divisions do not
+        join the ratepr=variable multiplier scheme — sigma^2 already
+        absorbs the overall scale."""
+        from ..ops.brownian import pic_logpdf
+        sigma2 = state["brownscale"][cfg.brownscale_group]
+        return pic_logpdf(state["left"], state["right"], state["parent"],
+                          blen, self._cont_values[i], sigma2, self.n_tips)
 
     def _std_symdiri_loglik(self, state, i, cfg: DivCfg, blen):
         """Standard/restriction data under symdirihyperpr: binary

@@ -582,6 +582,101 @@ def make_pars_spr_move(pars_masks, pars_factors):
     return move
 
 
+def make_pars_tbr_move(pars_masks, pars_factors):
+    """Parsimony-biased TBR (reference Move_ParsTBR1,
+    src/proposal.c:13224): bisect at an internal node v, re-root the
+    pruned subtree on a uniformly chosen internal edge (the uniform
+    choice cancels in the Hastings ratio — the subtree's edge count is
+    re-rooting-invariant; the reference also parsimony-biases this
+    choice, a refinement not carried over), then reattach on the root
+    side via the same Fitch-scored softmax as Move_ParsSPR.
+
+    The subtree's Fitch root set depends on its orientation, so the
+    forward softmax is scored with the RE-ROOTED subtree set and the
+    reverse with the ORIGINAL orientation's set (the reverse move
+    re-roots back before scoring)."""
+    from ..ops.traversal import postorder_internal
+
+    def fitch(P2, L2, R2, n_tips):
+        n_nodes = P2.shape[0]
+        F = jnp.zeros((n_nodes, pars_masks.shape[1]), jnp.uint32)
+        F = F.at[:n_tips].set(pars_masks)
+        order = postorder_internal(P2, n_tips)
+
+        def fstep(F, w):
+            a, b = F[L2[w]], F[R2[w]]
+            inter = a & b
+            return F.at[w].set(jnp.where(inter > 0, inter, a | b)), None
+
+        F, _ = jax.lax.scan(fstep, F, order)
+        return F
+
+    def scores(F, Fv, P2, root, warp):
+        par_eff = jnp.where(P2 == root, 0, jnp.maximum(P2, 0))
+        y = (F | F[par_eff]) & Fv[None, :]
+        return warp * jnp.sum(
+            jnp.where(y == 0, pars_factors[None, :], 0.0), axis=-1)
+
+    def move(key, state, tuning, n_tips):
+        root = 2 * n_tips - 2
+        n_nodes = 2 * n_tips - 1
+        parent, left, blen = state["parent"], state["left"], state["blen"]
+        k1, kc, ku1, k2, k3 = jax.random.split(key, 5)
+        idx = jnp.arange(n_nodes)
+        basal = left[root]
+        # v INTERNAL (a tip subtree cannot re-root: that's plain ParsSPR)
+        vmask = (idx >= n_tips) & (idx != root) & (idx != basal)
+        v = _masked_choice(k1, vmask)
+        p = parent[v]
+        g = parent[p]
+        s = jnp.where(left[p] == v, state["right"][p], left[p])
+        merged = blen[s] + blen[p]
+        st = _replace_child(state, g, p, s)
+        st = {**st, "blen": st["blen"].at[s].set(merged)}
+
+        # original-orientation Fitch pass (root-side sets + old F[v])
+        F_old = fitch(st["parent"], st["left"], st["right"], n_tips)
+        Fv_old = F_old[v]
+
+        # crown: uniform new root edge among subtree nodes (not v)
+        sub = _subtree_mask(st["parent"], v)
+        cmask_sub = sub & (idx != v)
+        c_edge = _masked_choice(kc, cmask_sub)
+        st, ln_len1 = _reroot_pruned(st, v, c_edge,
+                                     jax.random.uniform(ku1))
+        F_new = fitch(st["parent"], st["left"], st["right"], n_tips)
+        Fv_new = F_new[v]
+
+        P2 = st["parent"]
+        d_fwd = scores(F_old, Fv_new, P2, root, tuning)
+        d_rev = scores(F_old, Fv_old, P2, root, tuning)
+        sub2 = _subtree_mask(P2, v)
+        cmask = (~sub2) & (idx != root) & (idx != 0) & (idx != p)
+        fwd_mask = cmask & (idx != s)
+        valid = jnp.any(fwd_mask)
+        fwd_logits = jnp.where(fwd_mask, -d_fwd, NEG_INF)
+        w = jnp.where(valid, jax.random.categorical(k2, fwd_logits), s)
+        lnq_fwd = fwd_logits[w] - jax.scipy.special.logsumexp(fwd_logits)
+        rev_logits = jnp.where(cmask & (idx != w), -d_rev, NEG_INF)
+        lnq_rev = rev_logits[s] - jax.scipy.special.logsumexp(rev_logits)
+
+        t_w = st["blen"][w]
+        u_split = jax.random.uniform(k3)
+        gw = P2[w]
+        st = _replace_child(st, gw, w, p)
+        st = _replace_child(st, p, s, w)
+        blen2 = st["blen"].at[p].set(u_split * t_w).at[w].set(
+            (1.0 - u_split) * t_w)
+        st = {**st, "blen": blen2}
+        lnH = (lnq_rev - lnq_fwd + ln_len1
+               + jnp.log(jnp.maximum(t_w, 1e-35))
+               - jnp.log(jnp.maximum(merged, 1e-35)))
+        return st, jnp.where(valid, lnH, NEG_INF)
+
+    move.__name__ = "move_pars_tbr"
+    return move
+
+
 # ---------------------------------------------------------------------------
 # branch-length moves
 

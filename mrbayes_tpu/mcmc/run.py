@@ -177,6 +177,10 @@ def param_columns(eng: Engine):
     for gid in range(eng.n_groups.get("aamodel", 0)):
         cols.append(("aamodel" + suffix("aamodel", gid),
                      lambda st, s, g=gid: float(st["aamodel_idx"][s, g])))
+    for gid in range(eng.n_groups.get("brownscale", 0)):
+        # continuous-trait Brownian variance rate sigma^2
+        cols.append(("brownScale" + suffix("brownscale", gid),
+                     lambda st, s, g=gid: float(st["brownscale"][s, g])))
     if eng.ratemult_on:
         for d in range(n_div):
             cols.append((f"m{{{d + 1}}}",

@@ -31,7 +31,11 @@ class DivisionSettings:
     pairs: tuple = ()                 # doublet model: ((i,j), ...) 0-based
                                       # absolute columns (reference: pairs
                                       # command, src/command.c:5599)
-    coding: str = "all"               # ascertainment bias (standard/restriction)
+    coding: str = ""   # ascertainment bias; "" = datatype default,
+                       # resolved at Engine build (reference
+                       # SetModelDefaults src/model.c:18562-18576:
+                       # standard -> variable, restriction ->
+                       # noabsencesites, else all)
     # prset
     statefreqpr: Prior = field(default_factory=lambda: Prior("dirichlet", (1.0,)))
     revmatpr: Prior = field(default_factory=lambda: Prior("dirichlet", (1.0,)))

@@ -99,12 +99,22 @@ def protein_q(exchange: jnp.ndarray, pi: jnp.ndarray) -> jnp.ndarray:
 
 def codon_q(omega: jnp.ndarray, kappa: jnp.ndarray, pi: jnp.ndarray,
             single: jnp.ndarray, transition: jnp.ndarray,
-            nonsyn: jnp.ndarray) -> jnp.ndarray:
+            nonsyn: jnp.ndarray,
+            cat_weights: jnp.ndarray | None = None) -> jnp.ndarray:
     """Goldman–Yang / NY98 codon generator.
 
     q_ij = kappa^[transition] * omega^[nonsynonymous] * pi_j for codon
-    pairs differing at one position, else 0; normalized to mean rate 1
-    (reference src/likelihood.c SetNucQMatrix 61-state branch).
+    pairs differing at one position, else 0 (reference
+    src/likelihood.c SetNucQMatrix 61-state branch).
+
+    Normalization: with ``cat_weights`` (NY98/M3 positive-selection
+    mixtures) every class is rescaled by the SAME factor so the
+    class-frequency-weighted mean rate is 1 — classes keep their
+    relative speeds (reference: per-class dN+dS accumulated in
+    SetNucQMatrix, joint posScaler applied in UpDateCijk,
+    src/likelihood.c:10688-10714).  Without weights (M0), the single
+    class is normalized to mean rate 1.
+
     single/transition/nonsyn: [S, S] boolean masks from
     CodonCode.pair_classes().  omega/kappa may carry leading batch dims.
     """
@@ -117,7 +127,9 @@ def codon_q(omega: jnp.ndarray, kappa: jnp.ndarray, pi: jnp.ndarray,
     diag = -jnp.sum(Q, axis=-1)
     s = pi.shape[-1]
     Q = Q + jnp.eye(s) * diag[..., None]
-    mu = -jnp.sum(pi * diag, axis=-1)
+    mu = -jnp.sum(pi * diag, axis=-1)          # per-class mean rate
+    if cat_weights is not None:
+        mu = jnp.sum(cat_weights * mu, axis=-1, keepdims=True)
     return Q / mu[..., None, None]
 
 

@@ -26,6 +26,12 @@ class CharacterMatrix:
     fmt: FormatInfo
     codes: np.ndarray             # [ntax, nchar] uint32 state bitmasks
     col_datatype: list[DataType]  # per-column datatype (mixed support)
+    # continuous (Brownian-motion) characters: real values, NaN =
+    # missing; codes entries for continuous columns are 0 (reference
+    # reads continuous cells as reals, src/command.c DoMatrixParm
+    # CONTINUOUS branch — its likelihood is an unimplemented stub,
+    # src/likelihood.c:7554; ours is real, ops/brownian.py)
+    cont_values: np.ndarray | None = None
 
     @property
     def ntax(self) -> int:
@@ -97,6 +103,12 @@ def _parse_matrix_text(body: str, ntax: int, nchar: int,
                        fmt: FormatInfo) -> CharacterMatrix:
     col_dt = [fmt.datatype_for_col(c) if fmt.datatype is DataType.MIXED
               else fmt.datatype for c in range(nchar)]
+    if fmt.datatype is DataType.CONTINUOUS:
+        return _parse_continuous_matrix(body, ntax, nchar, fmt)
+    if DataType.CONTINUOUS in col_dt:
+        raise ValueError(
+            "continuous characters inside a mixed() matrix are not "
+            "supported; put them in their own data/characters block")
     codes = np.zeros((ntax, nchar), dtype=np.uint32)
     taxa: list[str] = []
     filled = np.zeros(ntax, dtype=np.int64)
@@ -152,6 +164,54 @@ def _parse_matrix_text(body: str, ntax: int, nchar: int,
         raise ValueError(f"matrix rows incomplete (want {nchar}): {bad}")
     return CharacterMatrix(taxa=taxa, nchar=nchar, fmt=fmt, codes=codes,
                            col_datatype=col_dt)
+
+
+def _parse_continuous_matrix(body: str, ntax: int, nchar: int,
+                             fmt: FormatInfo) -> CharacterMatrix:
+    """Continuous matrix: whitespace-separated reals per taxon row;
+    '?' / gap = missing (NaN).  Interleave-safe like the discrete
+    reader."""
+    vals = np.full((ntax, nchar), np.nan)
+    taxa: list[str] = []
+    filled = np.zeros(ntax, dtype=np.int64)
+
+    def taxon_index(name: str) -> int:
+        if name.startswith("'"):
+            name = name.strip("'").replace(" ", "_")
+        if name in taxa:
+            return taxa.index(name)
+        taxa.append(name)
+        return len(taxa) - 1
+
+    for line in body.splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        m = _LABEL_RE.match(line)
+        if not m:
+            continue
+        ti = taxon_index(m.group(1))
+        col = int(filled[ti])
+        for tok in m.group(2).split():
+            if col >= nchar:
+                raise ValueError(
+                    f"too many continuous values for taxon {taxa[ti]!r}")
+            if tok in (fmt.missing, fmt.gap):
+                vals[ti, col] = np.nan
+            else:
+                vals[ti, col] = float(tok)
+            col += 1
+        filled[ti] = col
+    if len(taxa) != ntax:
+        raise ValueError(f"expected {ntax} taxa, found {len(taxa)}")
+    if not np.all(filled == nchar):
+        bad = {taxa[i]: int(filled[i]) for i in range(ntax)
+               if filled[i] != nchar}
+        raise ValueError(f"matrix rows incomplete (want {nchar}): {bad}")
+    return CharacterMatrix(
+        taxa=taxa, nchar=nchar, fmt=fmt,
+        codes=np.zeros((ntax, nchar), np.uint32),
+        col_datatype=[DataType.CONTINUOUS] * nchar, cont_values=vals)
 
 
 # ---------------------------------------------------------------------------

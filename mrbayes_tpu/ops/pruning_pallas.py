@@ -63,8 +63,14 @@ def _kernel(lr_ref, bstep_ref, tips_ref, root_ref, ls_ref, cl_ref,
         r = lr_ref[i, 1]
         bl = bstep_ref[i, 0]
         br = bstep_ref[i, 1]
-        wl = jnp.dot(bl, cl_ref[l], preferred_element_type=jnp.float32)
-        wr = jnp.dot(br, cl_ref[r], preferred_element_type=jnp.float32)
+        # precision=HIGHEST: full-f32 MXU passes — the default runs f32
+        # through bf16 multiplies, biasing per-pattern lnL by ~1e-2
+        # (matches mrbayes_tpu._set_matmul_precision; the kernel is
+        # latency-bound so the extra passes are nearly free)
+        wl = jnp.dot(bl, cl_ref[l], preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+        wr = jnp.dot(br, cl_ref[r], preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
         c = wl * wr
         m = jnp.maximum(jnp.max(c, axis=0, keepdims=True), _TINY)
         cl_ref[n_tips + i] = c / m

@@ -77,6 +77,10 @@ def shard_engine_data(eng: Engine, mesh: Mesh) -> None:
         cms.append(put_global(
             cm_h, NamedSharding(mesh, P("sites", None))))
     eng.tip_partials, eng.weights, eng.const_masks = tps, ws, cms
+    # the fused Pallas pruners were built from the unpadded, unsharded
+    # tip tensors; under site sharding the lax.scan path (which reads
+    # the re-placed tensors above) must be used instead
+    eng._pruners = [None] * len(tps)
 
 
 def shard_chains(eng: Engine, mesh: Mesh, states: dict, bk: dict):

@@ -1,0 +1,153 @@
+"""Regenerate tests/golden_extra.json: reference-binary states for model
+classes beyond the primates single-division family (kim mixed-datatype
+HKY+G, partitioned+unlinked+ratepr=variable GTR+G, NY98 codon).
+
+Runs the SIMD reference build (/tmp/mbbuild/src/mb — correct likelihood
+path; the scalar fallback is only forced by report options), samples a
+short chain, and records (tree, params, lnL) rows plus the engine-state
+mapping so tests/test_golden_extra.py can evaluate our engine at the
+exact same states.
+
+Usage: python tests/make_golden_extra.py
+"""
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(HERE))
+EXAMPLES = "/root/reference/examples"
+MB = "/tmp/mbbuild/src/mb"
+
+KIM_CMDS = [
+    f"execute {EXAMPLES}/kim.nex",
+    "lset applyto=(1,2) nst=2 rates=gamma",
+    "lset applyto=(3) rates=gamma",
+    "lset applyto=(4) rates=gamma",
+    "prset applyto=(3) statefreqpr=fixed(equal)",
+]
+PART_CMDS = [
+    f"execute {EXAMPLES}/primates.nex",
+    "charset first_second = 1-898\\3 2-898\\3",
+    "charset third = 3-898\\3",
+    "partition bycodon = 2: first_second, third",
+    "set partition = bycodon",
+    "lset applyto=(all) nst=6 rates=gamma",
+    "unlink statefreq=(all) revmat=(all) shape=(all)",
+    "prset applyto=(all) ratepr=variable",
+]
+NY98_CMDS = [
+    f"execute {EXAMPLES}/replicase.nex",
+    "lset nucmodel=codon omegavar=ny98",
+]
+
+REVS = ("A<->C", "A<->G", "A<->T", "C<->G", "C<->T", "G<->T")
+
+
+def kim_state(row, eng):
+    st = {}
+    st["tratio"] = [[float(row["kappa{1,2}"])]]
+    g = eng.div_cfg[0].pi_group
+    pi = [[0.0] * 4 for _ in range(eng.n_groups["pi"])]
+    pi[g] = [float(row[f"pi({b}){{1,2}}"]) for b in "ACGT"]
+    st["pi"] = pi
+    shape = [1.0] * eng.n_groups["shape"]
+    shape[eng.div_cfg[0].shape_group] = float(row["alpha{1,2}"])
+    prot = next(i for i, c in enumerate(eng.div_cfg)
+                if c.div.dtype.value == "protein")
+    shape[eng.div_cfg[prot].shape_group] = float(row["alpha{3}"])
+    stdd = next(i for i, c in enumerate(eng.div_cfg)
+                if c.div.dtype.value == "standard")
+    shape[eng.div_cfg[stdd].shape_group] = float(row["alpha{4}"])
+    st["shape"] = shape
+    return st
+
+
+def part_state(row, eng):
+    st = {"revmat": [[0.0] * 6, [0.0] * 6], "pi": [[0.0] * 4, [0.0] * 4],
+          "shape": [1.0, 1.0], "ratemult": [0.0, 0.0]}
+    for i, cfg in enumerate(eng.div_cfg):
+        d = i + 1
+        st["revmat"][cfg.revmat_group] = [
+            float(row[f"r({r}){{{d}}}"]) for r in REVS]
+        st["pi"][cfg.pi_group] = [
+            float(row[f"pi({b}){{{d}}}"]) for b in "ACGT"]
+        st["shape"][cfg.shape_group] = float(row[f"alpha{{{d}}}"])
+        st["ratemult"][i] = float(row[f"m{{{d}}}"]) \
+            * float(eng.div_char_frac[i])
+    return st
+
+
+def ny98_state(row, eng):
+    from mrbayes_tpu.models.codes import BASES
+    code = eng.div_cfg[0].codon
+    names = ["".join(BASES[b] for b in code.bases[k])
+             for k in range(code.n_states)]
+    return {
+        "omega1": [float(row["omega(-)"])],
+        "omega3": [float(row["omega(+)"])],
+        "omegaprobs": [[float(row["pi(-)"]), float(row["pi(N)"]),
+                        float(row["pi(+)"])]],
+        "pi61": [[float(row[f"pi({n})"]) for n in names]],
+    }
+
+
+CONFIGS = [
+    ("kim_hky_g_mixed4", KIM_CMDS, kim_state, 200, 100, 0.6),
+    ("primates_part2_unlinked_gtr_g", PART_CMDS, part_state, 200, 100,
+     0.6),
+    ("replicase_ny98", NY98_CMDS, ny98_state, 60, 30, 1.0),
+]
+
+
+def ref_drive(cmds, ngen, freq, prefix):
+    body = "\n    ".join(c.replace(EXAMPLES + "/", "") + ";"
+                         for c in cmds)
+    return (f"#NEXUS\nbegin mrbayes;\n"
+            f"    set autoclose=yes nowarnings=yes seed=31 swapseed=32;\n"
+            f"    {body}\n"
+            f"    mcmc ngen={ngen} nruns=1 nchains=1 samplefreq={freq} "
+            f"printfreq={freq} file={prefix};\nend;\n")
+
+
+def main():
+    from mrbayes_tpu.cli import Interpreter
+    out = []
+    for name, cmds, mapper, ngen, freq, tol in CONFIGS:
+        with tempfile.TemporaryDirectory() as td:
+            for c in cmds:
+                if c.startswith("execute"):
+                    import shutil
+                    shutil.copy(c.split()[-1], td)
+            path = os.path.join(td, "drive.nex")
+            with open(path, "w") as f:
+                f.write(ref_drive(cmds, ngen, freq, name))
+            r = subprocess.run([MB, path], cwd=td, capture_output=True,
+                               text=True, timeout=1200)
+            assert "Analysis completed" in r.stdout, r.stdout[-2000:]
+            plines = open(os.path.join(td, name + ".p")).readlines()
+            hdr = plines[1].rstrip("\n").split("\t")
+            tlines = [ln for ln in
+                      open(os.path.join(td, name + ".t"))
+                      if "tree gen." in ln]
+            it = Interpreter(log=lambda m: None)
+            for c in cmds:
+                it.run_line(c, base_dir=".")
+            eng = it.build_engine()
+            for gi, pline in enumerate(plines[2:]):
+                row = dict(zip(hdr, pline.rstrip("\n").split("\t")))
+                nwk = tlines[gi].split("=", 1)[1].replace(
+                    "[&U]", "").replace("[&R]", "").strip()
+                out.append({
+                    "name": name, "commands": cmds, "gen": int(row["Gen"]),
+                    "newick": nwk, "lnL": float(row["lnLike"]),
+                    "state": mapper(row, eng), "tol": tol})
+            print(f"{name}: {len(plines) - 2} rows")
+    with open(os.path.join(HERE, "golden_extra.json"), "w") as f:
+        json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

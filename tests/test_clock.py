@@ -98,3 +98,37 @@ def test_random_clock_tree(rng):
     assert ages[t.root] == ages.max()
     for v in range(t.n_nodes - 1):
         assert ages[t.parent[v]] > ages[v] - 1e-12
+
+
+def test_subtree_swap_clock_invariants(rng):
+    """ExtSSClock analog: swaps keep a valid clock tree (parent ages
+    above child ages), and the valid-pair-count Hastings is finite."""
+    import jax
+    import jax.numpy as jnp
+
+    from mrbayes_tpu.mcmc.clock import move_subtree_swap_clock
+    n = 8
+    t, ages = random_clock_tree(n, rng)
+    state = {"left": jnp.asarray(t.left), "right": jnp.asarray(t.right),
+             "parent": jnp.asarray(t.parent),
+             "age": jnp.asarray(ages, jnp.float32)}
+    jfn = jax.jit(lambda k, s: move_subtree_swap_clock(
+        k, s, jnp.float32(0.0), n_tips=n))
+    changed = 0
+    for i in range(50):
+        new, lnh = jfn(jax.random.PRNGKey(i), state)
+        if float(lnh) <= -1e29:
+            continue
+        assert np.isfinite(float(lnh))
+        P = np.asarray(new["parent"])
+        L = np.asarray(new["left"])
+        R = np.asarray(new["right"])
+        A = np.asarray(new["age"])
+        # structural validity
+        for v in range(2 * n - 2):
+            assert L[P[v]] == v or R[P[v]] == v
+            assert A[P[v]] > A[v] - 1e-7
+        if not np.array_equal(P, np.asarray(state["parent"])):
+            changed += 1
+        state = new
+    assert changed > 10

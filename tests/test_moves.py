@@ -206,3 +206,114 @@ def test_pars_spr_invariants(primates):
             changed += 1
         state = new
     assert changed > 40   # ParsSPR always changes topology
+
+
+def test_pars_tbr_invariants(primates):
+    """ParsTBR: bisect + subtree re-root + Fitch-scored reattach keeps
+    the tree consistent, changes topology, and keeps Hastings finite
+    (reference Move_ParsTBR1, src/proposal.c:13224)."""
+    from mrbayes_tpu.data import DataSet, make_divisions
+    from mrbayes_tpu.mcmc.engine import Engine
+    from mrbayes_tpu.mcmc.settings import DivisionSettings, McmcSettings
+
+    ds = DataSet(taxa=primates.taxa, nchar=primates.matrix.nchar,
+                 divisions=make_divisions(primates.matrix))
+    eng = Engine(ds, [DivisionSettings(nst="1", rates="equal")],
+                 mcmc=McmcSettings(nruns=1, nchains=1, seed=2))
+    fn = M.make_pars_tbr_move(eng._pars_masks, eng._pars_factors)
+    n = ds.ntax
+    rng = np.random.default_rng(7)
+    t = random_unrooted(n, rng, 0.1)
+    state = {"left": jnp.asarray(t.left), "right": jnp.asarray(t.right),
+             "parent": jnp.asarray(t.parent),
+             "blen": jnp.asarray(t.blen, jnp.float32)}
+    jfn = jax.jit(lambda k, s: fn(k, s, jnp.float32(0.2), n_tips=n))
+    changed = 0
+    total_len = float(np.asarray(state["blen"]).sum())
+    for i in range(60):
+        new, lnH = jfn(jax.random.PRNGKey(1000 + i), state)
+        if float(lnH) <= M.NEG_INF / 2:
+            continue
+        t2 = Tree(parent=np.asarray(new["parent"]),
+                  left=np.asarray(new["left"]),
+                  right=np.asarray(new["right"]),
+                  blen=np.asarray(new["blen"], np.float64),
+                  n_tips=n, rooted=False)
+        t2.blen[0] = 0.0
+        t2.check()
+        # TBR moves branch segments around but conserves total length
+        assert abs(float(np.asarray(new["blen"]).sum())
+                   - total_len) < 1e-4
+        assert np.isfinite(float(lnH))
+        if not np.array_equal(np.asarray(new["parent"]),
+                              np.asarray(state["parent"])):
+            changed += 1
+        state = new
+        total_len = float(np.asarray(state["blen"]).sum())
+    assert changed > 40
+
+
+@pytest.mark.parametrize("maker", ["pars_spr", "pars_tbr"])
+def test_pars_moves_marginal_uniform(maker):
+    """Hastings validation for the parsimony-biased moves: even though
+    the proposal is data-biased, a prior-only chain must still sample
+    the 15 unrooted 5-tip topologies uniformly if lnH is correct."""
+    from mrbayes_tpu.data import DataSet, make_divisions
+    from mrbayes_tpu.mcmc.engine import Engine
+    from mrbayes_tpu.mcmc.settings import DivisionSettings, McmcSettings
+    from mrbayes_tpu.nexus.datatypes import DataType, FormatInfo
+    from mrbayes_tpu.nexus.parser import CharacterMatrix
+
+    n = 5
+    rng = np.random.default_rng(4)
+    codes = (1 << rng.integers(0, 4, size=(n, 30))).astype(np.uint32)
+    m = CharacterMatrix(taxa=[f"t{i}" for i in range(n)], nchar=30,
+                        fmt=FormatInfo(datatype=DataType.DNA), codes=codes,
+                        col_datatype=[DataType.DNA] * 30)
+    ds = DataSet(taxa=m.taxa, nchar=30, divisions=make_divisions(m))
+    eng = Engine(ds, [DivisionSettings(nst="1")],
+                 mcmc=McmcSettings(nruns=1, nchains=1))
+    mk = (M.make_pars_spr_move if maker == "pars_spr"
+          else M.make_pars_tbr_move)
+    fn = mk(eng._pars_masks, eng._pars_factors)
+    t = random_unrooted(n, rng, mean_blen=0.1)
+    state = {"left": jnp.asarray(t.left), "right": jnp.asarray(t.right),
+             "parent": jnp.asarray(t.parent),
+             "blen": jnp.asarray(t.blen, jnp.float32)}
+
+    def prior(st):
+        mask = jnp.ones(2 * n - 1, bool).at[2 * n - 2].set(False)
+        mask = mask.at[0].set(False)
+        return jnp.sum(jnp.where(mask, -10.0 * st["blen"], 0.0))
+
+    def step(carry, xs):
+        st = carry
+        key, i = xs
+        k1, k2 = jax.random.split(key)
+        # alternate with ext_spr for irreducibility: with only 2 valid
+        # bisection nodes on 5 tips, pars_tbr alone is not irreducible.
+        # A wrong pars-move Hastings ratio still skews the marginal.
+        new1, lnH1 = fn(k1, st, jnp.float32(0.2), n_tips=n)
+        new2, lnH2 = M.move_ext_spr(k1, st, jnp.float32(0.7), n_tips=n)
+        use1 = (i % 2) == 0
+        new = jax.tree.map(lambda a, b: jnp.where(use1, a, b), new1, new2)
+        lnH = jnp.where(use1, lnH1, lnH2)
+        ln_r = prior(new) - prior(st) + lnH
+        ok_len = jnp.all((new["blen"][1:] > 0)
+                         & (new["blen"][1:] < M.BRLEN_MAX))
+        acc = (jnp.log(jax.random.uniform(k2)) < ln_r) & ok_len
+        out = jax.tree.map(lambda a, b: jnp.where(acc, a, b), new, st)
+        return out, (out["parent"], out["left"], out["right"])
+
+    keys = (jax.random.split(jax.random.PRNGKey(17), 30000),
+            jnp.arange(30000))
+    _, (P, L, R) = jax.lax.scan(step, state, keys)
+    P, L, R = np.asarray(P), np.asarray(L), np.asarray(R)
+    counts: dict = {}
+    for i in range(4000, 30000, 4):
+        tid = _topology_id(P[i], L[i], R[i], n)
+        counts[tid] = counts.get(tid, 0) + 1
+    assert len(counts) == 15, f"only {len(counts)} topologies visited"
+    freqs = np.array(sorted(counts.values())) / sum(counts.values())
+    assert freqs.min() > 0.030, freqs
+    assert freqs.max() < 0.125, freqs

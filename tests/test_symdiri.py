@@ -96,7 +96,10 @@ def test_symdiri_binary_oracle(tmp_path):
     from mrbayes_tpu.models.substitution import binary_q
     from mrbayes_tpu.ops.pruning import division_loglik
     from mrbayes_tpu.ops.tiprobs import eigh_reversible
-    eng = _engine(tmp_path, "lset nbetacat=3;"
+    # coding=all pins off the Mkv correction (since the datatype default
+    # became variable, matching the reference) so the oracle below can
+    # combine plain per-category site likelihoods
+    eng = _engine(tmp_path, "lset nbetacat=3 coding=all;"
                   "prset symdirihyperpr=fixed(0.8);")
     states, _ = eng.init_chains()
     i = next(k for k, c in enumerate(eng.div_cfg)
