@@ -755,6 +755,45 @@ def move_age_slider(key, state, tuning, n_tips):
     return {**state, "age": age.at[v].set(new)}, jnp.float32(0.0)
 
 
+def move_local_clock(key, state, tuning, n_tips):
+    """LOCAL for clock trees (role of Move_LocalClock,
+    src/proposal.c:6630, Larget & Simon 1999): pick an internal node u
+    with parent v; among the three subtrees {u's two children, u's
+    sibling} choose uniformly which one becomes v's direct child, hang
+    the other two under u, and redraw u's age uniformly in
+    (max child age, age[v]).  Joint topology+age update on the local
+    neighborhood; Hastings = log(W_fwd / W_bwd) for the two uniform
+    age windows (the reference's h-distance bookkeeping expressed in
+    node ages)."""
+    root = 2 * n_tips - 2
+    parent, left, right = state["parent"], state["left"], state["right"]
+    age = state["age"]
+    k1, k2, k3 = jax.random.split(key, 3)
+    idx = jnp.arange(2 * n_tips - 1)
+    mask = (idx >= n_tips) & (idx != root)
+    u = _masked_choice(k1, mask)
+    v = parent[u]
+    a = left[u]
+    b = right[u]
+    c = jnp.where(left[v] == u, right[v], left[v])
+    # which of {a, b, c} goes outside (under v)?
+    pick = jax.random.randint(k2, (), 0, 3)
+    out_n = jnp.where(pick == 0, a, jnp.where(pick == 1, b, c))
+    in1 = jnp.where(pick == 0, b, a)
+    in2 = jnp.where(pick == 2, b, c)
+    lo_old = jnp.maximum(age[a], age[b])
+    lo_new = jnp.maximum(age[in1], age[in2])
+    W_f = jnp.maximum(age[v] - lo_new, 1e-12)
+    W_b = jnp.maximum(age[v] - lo_old, 1e-12)
+    new_age = lo_new + W_f * jax.random.uniform(k3)
+    st = dict(state)
+    st["left"] = left.at[u].set(in1).at[v].set(u)
+    st["right"] = right.at[u].set(in2).at[v].set(out_n)
+    st["parent"] = parent.at[in1].set(u).at[in2].set(u).at[out_n].set(v)
+    st["age"] = age.at[u].set(new_age)
+    return st, jnp.log(W_f) - jnp.log(W_b)
+
+
 def move_node_slider_clock(key, state, tuning, n_tips):
     """Windowed node-age slide with reflection (reference
     Move_NodeSliderClock, src/proposal.c:8570: newDepth = oldDepth +

@@ -904,6 +904,9 @@ class Engine:
                                partial(C.move_node_slider_clock,
                                        n_tips=n),
                                5.0, 0.05, 0.25, 1, 1e-5, 10.0))
+            mk.append(MoveSpec("local_clock",
+                               partial(C.move_local_clock, n_tips=n),
+                               3.0, 0.0, tunable=False))
             mk.append(MoveSpec("spr_clock",
                                partial(C.move_spr_clock, n_tips=n),
                                5.0, 0.0, tunable=False))

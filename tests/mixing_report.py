@@ -74,13 +74,13 @@ def main():
     ex = "/root/reference/examples"
     if which == "best":
         cmds = [f"execute {ex}/finch.nex"]
-        run_case("best", cmds, 4000, "speciesTreeHeight",
+        run_case("best", cmds, 12000, "speciesTreeHeight",
                  disable=["sp_distmatrix"])
     else:
         cmds = [f"execute {ex}/primates.nex",
                 "lset nst=2 rates=gamma",
                 "prset brlenspr=clock:uniform"]
-        run_case("clock", cmds, 4000, "TH",
+        run_case("clock", cmds, 8000, "TH",
                  disable=["subtree_swap_clock", "node_slider_clock"])
 
 

@@ -132,3 +132,34 @@ def test_subtree_swap_clock_invariants(rng):
             changed += 1
         state = new
     assert changed > 10
+
+
+def test_local_clock_invariants(rng):
+    """LOCAL for clock trees: joint 3-subtree reshuffle + age redraw
+    keeps a valid clock tree; Hastings finite."""
+    import jax
+    import jax.numpy as jnp
+
+    from mrbayes_tpu.mcmc.clock import move_local_clock
+    n = 8
+    t, ages = random_clock_tree(n, rng)
+    state = {"left": jnp.asarray(t.left), "right": jnp.asarray(t.right),
+             "parent": jnp.asarray(t.parent),
+             "age": jnp.asarray(ages, jnp.float32)}
+    jfn = jax.jit(lambda k, s: move_local_clock(
+        k, s, jnp.float32(0.0), n_tips=n))
+    changed = 0
+    for i in range(60):
+        new, lnh = jfn(jax.random.PRNGKey(100 + i), state)
+        assert np.isfinite(float(lnh))
+        P = np.asarray(new["parent"])
+        L = np.asarray(new["left"])
+        R = np.asarray(new["right"])
+        A = np.asarray(new["age"])
+        for v in range(2 * n - 2):
+            assert L[P[v]] == v or R[P[v]] == v, (v, P[v], L[P[v]], R[P[v]])
+            assert A[P[v]] > A[v] - 1e-7
+        if not np.array_equal(P, np.asarray(state["parent"])):
+            changed += 1
+        state = new
+    assert changed > 20
