@@ -1045,10 +1045,10 @@ class Interpreter:
                 if not vl.startswith("y"):
                     mc.checkfreq = 1 << 62   # effectively off
             elif key == "data":
-                if not vl.startswith("y"):
-                    raise CommandError(
-                        "mcmc data=no (prior-only sampling) is not "
-                        "supported yet")
+                # data=no: run the chain on the prior alone (reference
+                # Data parameter, src/command.c; useful for checking
+                # prior propriety and move mixing)
+                mc.use_data = vl.startswith("y")
             elif key in ("diagnstat", "mcmcdiagn", "ordertaxa", "reheat",
                          "printall", "printmax", "nsteps", "alpha",
                          "burninss"):
@@ -1329,8 +1329,39 @@ class Interpreter:
         self.env.quit_requested = True
 
     def do_help(self, args, base_dir):
+        """help [command] — list commands, or show one command's
+        documentation (reference autogenerated help, src/command.c)."""
+        if args:
+            name = args[0].lower()
+            handler = getattr(self, f"do_{name}", None) \
+                or self._abbrev_handler(name)
+            if handler is None:
+                raise CommandError(f"no such command {name!r}")
+            doc = handler.__doc__ or "(no documentation)"
+            for line in doc.splitlines():
+                self.log("   " + line.strip())
+            return
         cmds = sorted(m[3:] for m in dir(self) if m.startswith("do_"))
         self.log("   Available commands: " + " ".join(cmds))
+        self.log("   'help <command>' shows details; full dump: 'manual'")
+
+    def do_manual(self, args, base_dir):
+        """manual [filename] — write the full command reference to a
+        text file (reference DoManual, src/command.c:4991; content here
+        is each handler's documentation)."""
+        fname = args[0] if args else "commref.mbtpu.txt"
+        with open(fname, "w") as f:
+            f.write("mrbayes_tpu command reference\n"
+                    "=============================\n\n")
+            for m in sorted(dir(self)):
+                if not m.startswith("do_"):
+                    continue
+                doc = getattr(self, m).__doc__ or "(no documentation)"
+                f.write(m[3:] + "\n" + "-" * len(m[3:]) + "\n")
+                for line in doc.splitlines():
+                    f.write(line.strip() + "\n")
+                f.write("\n")
+        self.log(f"   Command reference written to \"{fname}\"")
 
 
 BANNER = """

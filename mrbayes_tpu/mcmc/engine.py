@@ -1680,6 +1680,10 @@ class Engine:
         return self._division_eig(state, i)
 
     def log_likelihood(self, state):
+        if not self.mcmc.use_data:
+            # mcmc data=no: prior-only sampling (reference LogLike is
+            # skipped when the Data parameter is No)
+            return jnp.float32(0.0)
         if self.best:
             # BEST: each division has its own strict-clock gene tree
             # (reference src/best.c; likelihood same machinery per gene)

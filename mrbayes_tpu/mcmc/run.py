@@ -344,6 +344,15 @@ class McmcRunner:
 
     def _write_sample(self, gen: int, states, bk):
         states, bk = self._host_view(states, bk)
+        if not self.multiprocess:
+            # one batched device->host fetch per sample boundary: the
+            # column extractors index dozens of scalars, and over a TPU
+            # tunnel each lazy read is a full round trip (measured
+            # ~2s/boundary on the envelope config; ~50x the actual
+            # device time).  jax.device_get pulls every array once.
+            import jax
+            states = jax.device_get(states)
+            bk = jax.device_get(bk)
         for r, slot in enumerate(self.eng.cold_indices(bk)):
             lnL = float(states["lnL"][slot])
             lnP = float(states["lnP"][slot])
@@ -409,6 +418,10 @@ class McmcRunner:
         states, bk = self._host_view(states, bk)
         if not self.is_main:
             return
+        if not self.multiprocess:
+            import jax
+            states = jax.device_get(states)   # one batched fetch (tunnel)
+            bk = jax.device_get(bk)
         mc = self.mc
         nc = mc.nchains
         lines = ["#NEXUS",

@@ -158,6 +158,9 @@ class McmcSettings:
     append: bool = False
     tune: bool = True
     tunefreq: int = 100
+    # mcmc data=no: sample from the prior only (reference
+    # src/command.c Data parameter; LogLike short-circuits)
+    use_data: bool = True
     # per-chain move selection (the reference's PickProposal draws a move
     # independently per chain, src/mcmc.c:10094).  Default False: one
     # shared random move index per generation keeps the lax.switch scalar

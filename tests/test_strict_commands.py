@@ -135,3 +135,25 @@ def test_trprobs_contains_trees(tmp_path):
     from mrbayes_tpu.mcmc.diagnostics import splits_of_tree
     splits = splits_of_tree(t)
     assert frozenset({3, 4}) in splits
+
+
+def test_help_and_manual(it, tmp_path):
+    it.run_line("help lset")
+    it.run_line(f"manual {tmp_path}/ref.txt")
+    text = (tmp_path / "ref.txt").read_text()
+    assert "prset" in text and "mcmc" in text
+    assert any("help" in ln for ln in it.lines)
+
+
+def test_prior_only_sampling(it, tmp_path):
+    """mcmc data=no samples the prior: lnLike column is 0 and branch
+    lengths follow the prior, not the data."""
+    prefix = str(tmp_path / "prior")
+    it.run_line("lset nst=1 rates=equal")
+    it.run_line(f"mcmc data=no ngen=200 nruns=1 nchains=1 samplefreq=50 "
+                f"printfreq=200 diagnfreq=200 file={prefix}")
+    lines = open(prefix + ".run1.p").readlines()
+    hdr = lines[1].rstrip("\n").split("\t")
+    for ln in lines[2:]:
+        row = dict(zip(hdr, ln.rstrip("\n").split("\t")))
+        assert float(row["lnLike"]) == 0.0
