@@ -253,6 +253,89 @@ def bench_reference():
     return 0
 
 
+def bench_large(nsites: int = 100_000, mode: str = "ours"):
+    """Long-alignment scaling (the site axis SURVEY §5 calls the
+    long-context analog): synthetic 12-taxon alignment with 80%
+    shared-column structure, GTR+G, 1 run x 4 chains.
+
+    Measured 2026-08-21 (12 x 100k sites = 23,673 unique patterns):
+    ours 1,696 gens/s on one v5e chip vs reference 64-bit -O3 SIMD at
+    65 gens/s = 26x.  Patterns ride the Pallas lane axis, so 57x the
+    primates pattern count costs only ~3.5x the generation time."""
+    import tempfile
+    import time as _time
+
+    import numpy as np
+    rng = np.random.default_rng(7)
+    NTAX = 12
+    base = rng.integers(0, 4, size=nsites)
+    M = np.where(rng.random((NTAX, nsites)) < 0.8, base[None, :],
+                 rng.integers(0, 4, size=(NTAX, nsites)))
+    rows = ["".join("ACGT"[b] for b in M[i]) for i in range(NTAX)]
+    td = tempfile.mkdtemp()
+    nex = ["#NEXUS", "begin data;",
+           f"  dimensions ntax={NTAX} nchar={nsites};",
+           "  format datatype=dna gap=- missing=? interleave=yes;",
+           "  matrix"]
+    W = 10000
+    for off in range(0, nsites, W):
+        for i, r in enumerate(rows):
+            nex.append(f"  t{i:<8} {r[off:off + W]}")
+        nex.append("")
+    nex += ["  ;", "end;"]
+    with open(f"{td}/big.nex", "w") as f:
+        f.write("\n".join(nex) + "\n")
+    if mode == "ref":
+        import subprocess
+        out = {}
+        for tag, n in (("warm", 2), ("full", 200)):
+            with open(f"{td}/d.nex", "w") as f:
+                f.write(f"""#NEXUS
+begin mrbayes;
+    set autoclose=yes nowarnings=yes seed=7 swapseed=9;
+    execute big.nex;
+    lset nst=6 rates=gamma;
+    mcmc ngen={n} nruns=1 nchains=4 samplefreq={n} printfreq={n}
+         diagnfreq={n} checkfreq=1000000 file=big_{tag};
+end;
+""")
+            t0 = _time.time()
+            r = subprocess.run([REF_MB, f"{td}/d.nex"], cwd=td,
+                               capture_output=True, text=True,
+                               timeout=3000)
+            assert "Analysis completed" in r.stdout, r.stdout[-400:]
+            out[tag] = _time.time() - t0
+        rate = 198 / max(out["full"] - out["warm"], 1e-9)
+        print(json.dumps({"metric": f"large_{nsites}sites_ref",
+                          "gens_per_sec": round(rate, 1)}))
+        return 0
+    import jax
+    from mrbayes_tpu import _cache_dir
+    jax.config.update("jax_compilation_cache_dir", _cache_dir())
+    from mrbayes_tpu.data import DataSet, make_divisions
+    from mrbayes_tpu.mcmc.engine import Engine
+    from mrbayes_tpu.mcmc.settings import DivisionSettings, McmcSettings
+    from mrbayes_tpu.nexus.parser import read_nexus_file
+    nf = read_nexus_file(f"{td}/big.nex")
+    ds = DataSet(taxa=nf.taxa, nchar=nf.matrix.nchar,
+                 divisions=make_divisions(nf.matrix))
+    eng = Engine(ds, [DivisionSettings(nst="6", rates="gamma")],
+                 mcmc=McmcSettings(nruns=1, nchains=4, seed=3))
+    states, bk = eng.init_chains()
+    states, bk = eng.run_block(states, bk, 100)
+    states["lnL"].block_until_ready()
+    t0 = _time.time()
+    for _ in range(3):
+        states, bk = eng.run_block(states, bk, 100)
+    states["lnL"].block_until_ready()
+    rate = 300 / (_time.time() - t0)
+    print(json.dumps({"metric": f"large_{nsites}sites",
+                      "gens_per_sec": round(rate, 1),
+                      "site_patterns": int(ds.divisions[0].npat),
+                      "pallas": eng._pruners[0] is not None}))
+    return 0
+
+
 V5E_PEAK_BF16 = 197e12      # public TPU v5e spec
 V5E_HBM_BW = 819e9          # bytes/sec, public spec
 
@@ -344,4 +427,7 @@ if __name__ == "__main__":
         sys.exit(bench_reference())
     if "--roofline" in sys.argv:
         sys.exit(bench_roofline())
+    if "--large" in sys.argv:
+        sys.exit(bench_large(
+            mode="ref" if "--ref" in sys.argv else "ours"))
     sys.exit(bench_all() if "--all" in sys.argv else main())

@@ -1776,7 +1776,8 @@ class Engine:
             state["left"], state["right"], state["parent"],
             blen, self.tip_partials[i], self.weights[i],
             lam, U, Uinv, pi, rates, pinv, cmask, self.n_tips,
-            rate_mult=mult, coding=coding, pruner=self._pruners[i])
+            rate_mult=mult, coding=coding, pruner=self._pruners[i],
+            split_correction=getattr(self, '_site_sharded', False))
 
     def _pars_lnL(self, state, i, cfg: DivCfg):
         """Tuffley-Steel (1997) parsimony-model likelihood:
@@ -1856,7 +1857,9 @@ class Engine:
                 state["left"], state["right"], state["parent"], blen,
                 self.tip_partials[i], self.weights[i], lam, U, Uinv, pi,
                 rates, 0.0, None, self.n_tips, rate_mult=mult,
-                coding=coding, pruner=self._pruners[i])
+                coding=coding, pruner=self._pruners[i],
+                split_correction=getattr(self, '_site_sharded',
+                                         False))
         # binary beta-category mixture: fold beta cats into the category
         # axis next to the rate categories
         B = s.nbetacat
@@ -1875,7 +1878,8 @@ class Engine:
             state["left"], state["right"], state["parent"], blen,
             self.tip_partials[i], self.weights[i], lam_f, U_f, V_f,
             pi_f, rates_f, 0.0, None, self.n_tips, rate_mult=mult,
-            coding=coding, pruner=self._pruners[i])
+            coding=coding, pruner=self._pruners[i],
+            split_correction=getattr(self, '_site_sharded', False))
 
     def _covarion_loglik(self, state, i, cfg: DivCfg, blen):
         """Tuffley-Steel covarion likelihood: doubled state space, one

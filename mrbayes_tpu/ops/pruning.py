@@ -242,7 +242,8 @@ def division_loglik(left, right, parent, blen, tip_partials, weights,
                     n_tips: int, rate_mult=1.0,
                     coding: str = "all",
                     cat_weights: jnp.ndarray | None = None,
-                    pruner=None) -> jnp.ndarray:
+                    pruner=None,
+                    split_correction: bool = False) -> jnp.ndarray:
     """Weighted log-likelihood of one division, with optional
     ascertainment-bias correction for datasets that by construction lack
     certain patterns (reference: AddDummyChars src/model.c:176; coding
@@ -250,8 +251,28 @@ def division_loglik(left, right, parent, blen, tip_partials, weights,
 
     coding: "all" (none) | "variable" (no constant patterns; Mkv) |
     "noabsence" | "nopresence" (restriction-site variants).
+
+    split_correction: compute the dummy-pattern correction in a separate
+    tiny (replicated) pruning pass instead of appending dummy columns to
+    the pattern axis — required when ``tip_partials`` is sharded on the
+    pattern dimension (site-sharded meshes), where position-based
+    slicing of appended columns would fight GSPMD.
     """
     s = tip_partials.shape[-1]
+    if coding != "all" and split_correction:
+        ln_real = division_site_loglik(
+            left, right, parent, blen, tip_partials, lam, U, Uinv, pi,
+            cat_rates, pinv, const_mask, n_tips, rate_mult, cat_weights,
+            pruner=None)
+        dummy = jnp.broadcast_to(jnp.eye(s, dtype=tip_partials.dtype),
+                                 (tip_partials.shape[0], s, s))
+        dmask = (jnp.eye(s, dtype=const_mask.dtype)
+                 if const_mask is not None else None)
+        ln_dummy = division_site_loglik(
+            left, right, parent, blen, dummy, lam, U, Uinv, pi,
+            cat_rates, pinv, dmask, n_tips, rate_mult, cat_weights,
+            pruner=None)
+        return _coding_total(ln_real, ln_dummy, weights, coding, s)
     if coding != "all":
         # append s dummy constant patterns (one-hot columns for each state)
         dummy = jnp.broadcast_to(jnp.eye(s, dtype=tip_partials.dtype),
@@ -269,6 +290,10 @@ def division_loglik(left, right, parent, blen, tip_partials, weights,
         return jnp.sum(weights.astype(dtype) * ln_site)
     ln_dummy = ln_site[-s:]
     ln_real = ln_site[:-s]
+    return _coding_total(ln_real, ln_dummy, weights, coding, s)
+
+
+def _coding_total(ln_real, ln_dummy, weights, coding: str, s: int):
     if coding == "variable":
         p_unobs = jnp.sum(jnp.exp(ln_dummy))
     elif coding == "noabsence":
@@ -277,7 +302,7 @@ def division_loglik(left, right, parent, blen, tip_partials, weights,
         p_unobs = jnp.exp(ln_dummy[-1])
     else:
         raise ValueError(f"unknown coding {coding!r}")
-    w = weights.astype(dtype)
+    w = weights.astype(ln_real.dtype)
     correction = jnp.sum(w) * jnp.log1p(-jnp.minimum(p_unobs, 1.0 - 1e-7))
     return jnp.sum(w * ln_real) - correction
 

@@ -63,3 +63,43 @@ def test_graft_entry_forward():
     fn, args = g.entry()
     v = jax.jit(fn)(*args)
     assert float(v) < 0
+
+
+def test_site_sharded_mkv_coding_matches():
+    """Site-sharded lnL equality for standard (Mkv, coding=variable)
+    data: the ascertainment correction runs as a separate replicated
+    dummy pass under sharding (division_loglik split_correction)."""
+    from mrbayes_tpu.nexus.datatypes import DataType, FormatInfo
+    from mrbayes_tpu.nexus.parser import CharacterMatrix
+
+    rng = np.random.default_rng(9)
+    ntax, nchar = 8, 40
+    M = rng.integers(0, 2, size=(ntax, nchar))
+    for j in range(nchar):
+        if len(set(M[:, j].tolist())) == 1:
+            M[0, j] = 1 - M[0, j]
+    codes = (1 << M).astype(np.uint32)
+    m = CharacterMatrix(taxa=[f"t{i}" for i in range(ntax)], nchar=nchar,
+                        fmt=FormatInfo(datatype=DataType.STANDARD),
+                        codes=codes,
+                        col_datatype=[DataType.STANDARD] * nchar)
+    ds = DataSet(taxa=m.taxa, nchar=nchar, divisions=make_divisions(m))
+
+    def build():
+        return Engine(ds, [DivisionSettings(rates="gamma")],
+                      mcmc=McmcSettings(nruns=1, nchains=2, seed=5))
+
+    eng_ref = build()
+    assert eng_ref.div_cfg[0].settings.coding == "variable"   # default
+    states, _ = eng_ref.init_chains()
+    want = np.asarray(states["lnL"])
+
+    eng_sh = build()
+    mesh = make_mesh(2, 4)
+    shard_engine_data(eng_sh, mesh)
+    assert eng_sh._site_sharded
+    with mesh:
+        st, _ = shard_chains(eng_sh, mesh, *eng_sh.init_chains())
+        got = np.asarray(jax.vmap(eng_sh.log_likelihood)(
+            {k: v for k, v in st.items() if k not in ("lnL", "lnP")}))
+    np.testing.assert_allclose(want, got, rtol=2e-4)
