@@ -342,7 +342,35 @@ class McmcRunner:
         from ..parallel.mesh import gather_to_host
         return gather_to_host(x)
 
+    def _debug_checks(self, gen: int, states_h, states_dev):
+        """Opt-in in-loop invariants (role of the reference's
+        --enable-debug generation checks: IsTreeConsistent
+        src/utils.c:4778 and the DEBUG_LNLIKELIHOOD full-recompute
+        cross-check, src/mcmc.c:16769-16861).  MB_DEBUG=1 validates
+        every chain's tree structure at each sample boundary;
+        MB_DEBUG_LNL=1 recomputes the carried lnL/lnP from scratch and
+        errors on drift (catches stale-cache bugs in move branches)."""
+        import jax
+        if os.environ.get("MB_DEBUG"):
+            for slot in range(self.mc.n_chains_total):
+                for t_i in range(self.n_trees):
+                    self.eng.extract_tree(states_h, slot, t_i).check()
+        if os.environ.get("MB_DEBUG_LNL"):
+            view = {k: v for k, v in states_dev.items()
+                    if k not in ("lnL", "lnP")}
+            lnl = np.asarray(jax.vmap(self.eng.log_likelihood)(view))
+            lnp = np.asarray(jax.vmap(self.eng.log_prior)(view))
+            carried_l = np.asarray(states_h["lnL"])
+            carried_p = np.asarray(states_h["lnP"])
+            dl = np.abs(lnl - carried_l).max()
+            dp = np.abs(lnp - carried_p).max()
+            if dl > 0.5 or dp > 0.5:
+                raise AssertionError(
+                    f"DEBUG_LNL drift at gen {gen}: max |dlnL|={dl:.4f} "
+                    f"|dlnP|={dp:.4f} (carried vs recomputed)")
+
     def _write_sample(self, gen: int, states, bk):
+        states_dev = states
         states, bk = self._host_view(states, bk)
         if not self.multiprocess:
             # one batched device->host fetch per sample boundary: the
@@ -353,6 +381,8 @@ class McmcRunner:
             import jax
             states = jax.device_get(states)
             bk = jax.device_get(bk)
+        if os.environ.get("MB_DEBUG") or os.environ.get("MB_DEBUG_LNL"):
+            self._debug_checks(gen, states, states_dev)
         for r, slot in enumerate(self.eng.cold_indices(bk)):
             lnL = float(states["lnL"][slot])
             lnP = float(states["lnP"][slot])

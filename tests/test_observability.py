@@ -92,3 +92,19 @@ def test_swap_info_and_mstat(tmp_path, monkeypatch):
         lines = f.read().strip().splitlines()
     assert lines[0].startswith("Indicator")
     assert any("gtrsubmodel" in ln for ln in lines[1:])
+
+
+def test_debug_invariants_run(tmp_path, monkeypatch):
+    """MB_DEBUG + MB_DEBUG_LNL: in-loop tree consistency and carried-vs-
+    recomputed lnL/lnP cross-checks pass on a short run (role of the
+    reference's --enable-debug generation checks, src/mcmc.c:16769)."""
+    from mrbayes_tpu.cli import Interpreter
+    monkeypatch.setenv("MB_DEBUG", "1")
+    monkeypatch.setenv("MB_DEBUG_LNL", "1")
+    prefix = str(tmp_path / "dbg")
+    it = Interpreter(log=lambda m: None)
+    it.run_line("execute /root/reference/examples/primates.nex")
+    it.run_line("lset nst=6 rates=invgamma")
+    it.run_line(f"mcmc ngen=150 nruns=1 nchains=2 samplefreq=50 "
+                f"printfreq=150 diagnfreq=150 file={prefix}")
+    assert (tmp_path / "dbg.run1.p").exists()
