@@ -616,7 +616,8 @@ class Interpreter:
 
     LSET_KEYS = ("applyto", "nst", "rates", "ngammacat", "nucmodel", "code",
                  "covarion", "coding", "omegavar", "parsmodel", "nbetacat",
-                 "nmixtcat", "usegibbs", "gibbsfreq")
+                 "nmixtcat", "usegibbs", "gibbsfreq",
+                 "numm10betacats", "numm10gammacats")
 
     def do_lset(self, args, base_dir):
         pairs = self._kv_pairs(args)
@@ -661,11 +662,16 @@ class Interpreter:
                     s.nmixtcat = int(v)
                 elif key == "nbetacat":
                     s.nbetacat = int(v)
+                elif key == "numm10betacats":
+                    s.nm10betacat = int(v)
+                elif key == "numm10gammacats":
+                    s.nm10gammacat = int(v)
 
     PRSET_KEYS = ("applyto", "statefreqpr", "revmatpr", "tratiopr",
                   "shapepr", "pinvarpr", "ratecorrpr", "covswitchpr",
                   "omegapr", "ny98omega1pr", "ny98omega3pr",
-                  "codoncatfreqpr", "m3omegapr", "ratepr", "aamodelpr",
+                  "codoncatfreqpr", "m3omegapr", "m10betapr", "m10gammapr",
+                  "ratepr", "aamodelpr",
                   "brlenspr", "topologypr", "clockvarpr", "clockratepr",
                   "treeagepr", "igrvarpr", "ilnvarpr", "tk02varpr",
                   "wnvarpr", "mixedvarpr", "cppratepr", "cppmultdevpr",
@@ -780,6 +786,10 @@ class Interpreter:
                     s.browncorrpr = prior
                 elif key == "brownscalepr":
                     s.brownscalepr = prior
+                elif key == "m10betapr":
+                    s.m10betapr = prior
+                elif key == "m10gammapr":
+                    s.m10gammapr = prior
                 elif key == "m3omegapr":
                     # reference default: exponential order statistics
                     # (src/command.c:10819); fixed(w1,w2,w3) not wired

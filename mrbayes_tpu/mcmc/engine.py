@@ -68,6 +68,7 @@ class DivCfg:
     omega_group: int = -1         # omegavar=equal (M0)
     ny98_group: int = -1          # omegavar=ny98
     m3_group: int = -1            # omegavar=m3 (three ordered omegas)
+    m10_group: int = -1           # omegavar=m10 (beta + 1+gamma mixture)
     aamodel_group: int = -1       # aamodelpr=mixed (rjMCMC over aa models)
     covswitch_group: int = -1     # covarion=yes, sampled switch rates
     fixed_covswitch: np.ndarray | None = None  # covswitchpr=fixed(s01,s10)
@@ -422,6 +423,12 @@ class Engine:
                     cfg.ny98_group = group_of("ny98", d, "ny98")
                 elif s.omegavar == "m3":
                     cfg.m3_group = group_of("m3", d, "m3")
+                elif s.omegavar == "m10":
+                    # omega ~ p0 Beta(ab,bb) + p1 (1+Gamma(ag,bg)),
+                    # discretized B+G classes (reference OMEGA_10* ids,
+                    # src/model.c:19371; class values src/model.c:11637)
+                    cfg.m10_group = group_of(
+                        "m10", d, repr((s.nm10betacat, s.nm10gammacat)))
                 else:
                     cfg.omega_group = group_of("omega", d, repr(s.omegapr))
                 if s.nst == "2":
@@ -588,6 +595,14 @@ class Engine:
                                              s.ny98omega3pr)
                 self.group_priors.setdefault(("omegaprobs", cfg.ny98_group),
                                              s.codoncatfreqpr)
+            if cfg.m10_group >= 0:
+                self.group_priors.setdefault(("m10beta", cfg.m10_group),
+                                             s.m10betapr)
+                self.group_priors.setdefault(("m10gamma", cfg.m10_group),
+                                             s.m10gammapr)
+                self.group_priors.setdefault(
+                    ("m10catprobs", cfg.m10_group),
+                    Prior("dirichlet", (1.0, 1.0)))
             if cfg.m3_group >= 0:
                 self.group_priors.setdefault(("m3omega", cfg.m3_group),
                                              Prior("m3orderstat", ()))
@@ -702,6 +717,10 @@ class Engine:
                 for key in {cfg.n_cats, cfg.n_rate_cats or cfg.n_cats}:
                     if key not in self._gamma_tables:
                         self._gamma_tables[key] = GammaRateTable(key)
+            if cfg.m10_group >= 0:
+                key = cfg.settings.nm10gammacat
+                if key not in self._gamma_tables:
+                    self._gamma_tables[key] = GammaRateTable(key)
             if cfg.settings.rates == "adgamma":
                 # static site-order maps for the HMM: pattern index per
                 # site and the distance (jump) between successive sites
@@ -762,7 +781,12 @@ class Engine:
                 self._pruners.append(None)
                 continue
             if cfg.codon is not None:
-                k = 3 if (cfg.ny98_group >= 0 or cfg.m3_group >= 0) else 1
+                if cfg.m10_group >= 0:
+                    k = cfg.settings.nm10betacat + cfg.settings.nm10gammacat
+                elif cfg.ny98_group >= 0 or cfg.m3_group >= 0:
+                    k = 3
+                else:
+                    k = 1
                 coding = "all"
             elif cfg.covswitch_group >= 0 or cfg.fixed_covswitch is not None:
                 k = cfg.n_cats if cfg.shape_group >= 0 else 1
@@ -1186,6 +1210,21 @@ class Engine:
                 "m3probs_dir",
                 partial(M.make_simplex_move("m3probs"), n_tips=n),
                 1.5, 100.0, 0.25, -1, 1.0, 1e5))
+        if self.n_groups.get("m10"):
+            mk.append(MoveSpec(
+                "m10beta_mult",
+                partial(M.make_multiplier_move("m10beta", 1e-3, 20.0),
+                        n_tips=n), 1.0, 2.0 * np.log(1.5), 0.25, 1,
+                1e-3, 20.0))
+            mk.append(MoveSpec(
+                "m10gamma_mult",
+                partial(M.make_multiplier_move("m10gamma", 1e-3, 20.0),
+                        n_tips=n), 1.0, 2.0 * np.log(1.5), 0.25, 1,
+                1e-3, 20.0))
+            mk.append(MoveSpec(
+                "m10probs_dir",
+                partial(M.make_simplex_move("m10catprobs"), n_tips=n),
+                1.0, 100.0, 0.25, -1, 1.0, 1e5))
         if self.n_groups.get("aamodel"):
             n_models = 11
 
@@ -1294,7 +1333,8 @@ class Engine:
                    "omega_mult", "omega1_slider", "omega3_mult",
                    "m3omega_slider", "aamodel_jump", "revmat_dir",
                    "revmat_splitmerge", "revmat_dirmix", "tratio_mult",
-                   "omegaprobs_dir", "m3probs_dir"}
+                   "omegaprobs_dir", "m3probs_dir",
+                   "m10beta_mult", "m10gamma_mult", "m10probs_dir"}
         for m in mk:
             m.updates_q = m.name in q_moves
         self.moves = mk
@@ -1493,6 +1533,16 @@ class Engine:
             st["omega1"] = jnp.full((g,), 0.1)
             st["omega3"] = jnp.full((g,), 2.0)
             st["omegaprobs"] = jnp.full((g, 3), 1.0 / 3)
+        if self.n_groups.get("m10"):
+            g = self.n_groups["m10"]
+            st["m10beta"] = jnp.tile(jnp.asarray([1.0, 1.0]), (g, 1))
+            st["m10gamma"] = jnp.tile(jnp.asarray([1.0, 1.0]), (g, 1))
+            st["m10catprobs"] = jnp.full((g, 2), 0.5)
+        if self.n_groups.get("m10"):
+            g = self.n_groups["m10"]
+            st["m10beta"] = jnp.tile(jnp.asarray([1.0, 1.0]), (g, 1))
+            st["m10gamma"] = jnp.tile(jnp.asarray([1.0, 1.0]), (g, 1))
+            st["m10catprobs"] = jnp.full((g, 2), 0.5)
         if self.n_groups.get("m3"):
             g = self.n_groups["m3"]
             st["m3omega"] = jnp.tile(
@@ -1574,6 +1624,28 @@ class Engine:
     # ------------------------------------------------------------------
     # densities
 
+    def _m10_omegas_weights(self, state, cfg):
+        """M10 class omegas and weights from the sampled shape pairs and
+        class probabilities (reference: BetaBreaks + DiscreteGamma + 1,
+        src/model.c:11637-11643; weights = p_k / n_cats_k
+        :11608-11611)."""
+        from ..models.rates import beta_quantile_breaks
+        g = cfg.m10_group
+        B = cfg.settings.nm10betacat
+        G = cfg.settings.nm10gammacat
+        ab, bb = state["m10beta"][g][0], state["m10beta"][g][1]
+        ag, bg = state["m10gamma"][g][0], state["m10gamma"][g][1]
+        w_beta = beta_quantile_breaks(ab, bb, B)
+        # class means of Gamma(ag, bg) = table(ag) * ag/bg, since the
+        # table holds the class means of the mean-1 Gamma(ag, ag)
+        w_gamma = 1.0 + self._gamma_tables[G](ag) \
+            * ag / jnp.maximum(bg, 1e-6)
+        omegas = jnp.concatenate([w_beta, w_gamma])
+        p = state["m10catprobs"][g]
+        weights = jnp.concatenate([jnp.full((B,), 1.0 / B) * p[0],
+                                   jnp.full((G,), 1.0 / G) * p[1]])
+        return omegas, weights
+
     def _division_q_pi(self, state, i):
         """(Q, pi) of division i from sampled/fixed params (the analog of
         reference SetNucQMatrix/UpDateCijk inputs, src/likelihood.c:8166)."""
@@ -1596,6 +1668,8 @@ class Engine:
             elif cfg.m3_group >= 0:
                 omegas = state["m3omega"][cfg.m3_group]
                 weights = state["m3probs"][cfg.m3_group]
+            elif cfg.m10_group >= 0:
+                omegas, weights = self._m10_omegas_weights(state, cfg)
             else:
                 omegas = state["omega"][cfg.omega_group][None]
             Q = codon_q(omegas, kappa, pi, jnp.asarray(single),
@@ -1963,6 +2037,9 @@ class Engine:
         elif cfg.m3_group >= 0:
             weights = state["m3probs"][cfg.m3_group]
             n_cats = 3
+        elif cfg.m10_group >= 0:
+            _, weights = self._m10_omegas_weights(state, cfg)
+            n_cats = cfg.settings.nm10betacat + cfg.settings.nm10gammacat
         else:
             weights = None
             n_cats = 1
@@ -2069,6 +2146,13 @@ class Engine:
                 # both from the same distribution, src/model.c:11891-11897)
                 lp = lp + jnp.sum(_scalar_prior_lpdf(
                     pr, state["covswitch"][gid]))
+            elif param in ("m10beta", "m10gamma"):
+                # both shape parameters iid under the prior (reference
+                # m10betapr Uniform(0,20) default, src/bayes.c:741-748)
+                lp = lp + jnp.sum(_scalar_prior_lpdf(pr, state[param][gid]))
+            elif param == "m10catprobs":
+                lp = lp + dirichlet_lpdf(state[param][gid],
+                                         jnp.asarray(pr.params))
             elif param == "omega1":
                 lp = lp + beta_lpdf(state["omega1"][gid], *pr.params)
             elif param == "omega3":

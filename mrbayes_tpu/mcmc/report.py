@@ -107,7 +107,8 @@ class Reporter:
             if w_rates is not None and ui in w_rates and not ineligible \
                     and cfg.shape_group >= 0 and cfg.codon is None:
                 plan["rates"] = True
-            has_classes = cfg.ny98_group >= 0 or cfg.m3_group >= 0
+            has_classes = (cfg.ny98_group >= 0 or cfg.m3_group >= 0
+                           or cfg.m10_group >= 0)
             if w_possel is not None and ui in w_possel and has_classes:
                 plan["possel"] = True
             if w_omega is not None and ui in w_omega and has_classes:
@@ -186,9 +187,11 @@ class Reporter:
             elif cfg.m3_group >= 0:
                 weights = cold["m3probs"][cfg.m3_group]
                 omegas = cold["m3omega"][cfg.m3_group]
+            elif cfg.m10_group >= 0:
+                omegas, weights = eng._m10_omegas_weights(cold, cfg)
             else:
                 weights = None
-            n_cats = 3 if omegas is not None else 1
+            n_cats = omegas.shape[0] if omegas is not None else 1
             mult = 3.0
             if eng.ratemult_on:
                 mult = mult * cold["ratemult"][i] / eng.div_char_frac[i]

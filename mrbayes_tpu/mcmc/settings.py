@@ -44,7 +44,7 @@ class DivisionSettings:
     pinvarpr: Prior = field(default_factory=lambda: Prior("uniform", (0.0, 1.0)))
     adgammacorpr: Prior = field(default_factory=lambda: Prior(
         "uniform", (-1.0, 1.0)))     # adgamma rho (bayes.c:777 "Uniform")
-    omegavar: str = "equal"           # codon: equal (M0) | ny98 | m3
+    omegavar: str = "equal"           # codon: equal (M0) | ny98 | m3 | m10
     omegapr: Prior = field(default_factory=lambda: Prior("dirichlet",
                                                          (1.0, 1.0)))
     ny98omega1pr: Prior = field(default_factory=lambda: Prior(
@@ -53,6 +53,15 @@ class DivisionSettings:
         "exponential", (1.0,)))
     codoncatfreqpr: Prior = field(default_factory=lambda: Prior(
         "dirichlet", (1.0, 1.0, 1.0)))
+    # M10 codon model (reference defaults src/bayes.c:739-752):
+    # omega ~ p0*Beta(a_b,b_b) + p1*(1+Gamma(a_g,b_g)), discretized into
+    # nm10betacat + nm10gammacat classes
+    nm10betacat: int = 4
+    nm10gammacat: int = 4
+    m10betapr: Prior = field(default_factory=lambda: Prior(
+        "uniform", (0.0, 20.0)))
+    m10gammapr: Prior = field(default_factory=lambda: Prior(
+        "uniform", (0.0, 20.0)))
     covswitchpr: Prior = field(default_factory=lambda: Prior(
         "uniform", (0.0, 100.0)))     # covarion s01,s10 (bayes.c:784-785)
     aamodel: str = "poisson"          # protein: poisson|jones|dayhoff|mtrev|...

@@ -114,3 +114,25 @@ def adgamma_transition(rho: jnp.ndarray, k: int,
     cell = Cp[1:, 1:] - Cp[:-1, 1:] - Cp[1:, :-1] + Cp[:-1, :-1]
     M = jnp.maximum(cell * k, 0.0)
     return M / jnp.sum(M, axis=-1, keepdims=True)
+
+
+def beta_quantile_breaks(a, b, K: int):
+    """Median-of-class quantiles of Beta(a, b): the quantile at the
+    midpoint of each of K equal-probability classes (reference
+    BetaBreaks, src/utils.c — quantile at r = (i+1/2)/K).  Traced
+    bisection on the regularized incomplete beta function."""
+    import jax
+    import jax.numpy as jnp
+    from jax.scipy.special import betainc
+    r = (jnp.arange(K, dtype=jnp.float32) + 0.5) / K
+    lo = jnp.zeros((K,), jnp.float32)
+    hi = jnp.ones((K,), jnp.float32)
+
+    def step(_, lh):
+        lo, hi = lh
+        mid = 0.5 * (lo + hi)
+        below = betainc(a, b, mid) < r
+        return jnp.where(below, mid, lo), jnp.where(below, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(0, 40, step, (lo, hi))
+    return 0.5 * (lo + hi)

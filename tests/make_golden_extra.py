@@ -42,6 +42,10 @@ NY98_CMDS = [
     f"execute {EXAMPLES}/replicase.nex",
     "lset nucmodel=codon omegavar=ny98",
 ]
+M10_CMDS = [
+    f"execute {EXAMPLES}/replicase.nex",
+    "lset nucmodel=codon omegavar=m10",
+]
 
 REVS = ("A<->C", "A<->G", "A<->T", "C<->G", "C<->T", "G<->T")
 
@@ -94,11 +98,30 @@ def ny98_state(row, eng):
     }
 
 
+def m10_state(row, eng):
+    from mrbayes_tpu.models.codes import BASES
+    code = eng.div_cfg[0].codon
+    names = ["".join(BASES[b] for b in code.bases[k])
+             for k in range(code.n_states)]
+    st = {
+        "m10beta": [[float(row["beta(alpha)"]), float(row["beta(beta)"])]],
+        "m10gamma": [[float(row["gamma(alpha)"]),
+                      float(row["gamma(beta)"])]],
+        "m10catprobs": [[float(row["pi(1)"]), float(row["pi(2)"])]],
+        "pi61": [[float(row[f"pi({n})"]) for n in names]],
+    }
+    # also record the reference's per-class omegas for the
+    # discretization cross-check
+    st["_ref_omegas"] = [float(row[f"omega({k})"]) for k in range(1, 9)]
+    return st
+
+
 CONFIGS = [
     ("kim_hky_g_mixed4", KIM_CMDS, kim_state, 200, 100, 0.6),
     ("primates_part2_unlinked_gtr_g", PART_CMDS, part_state, 200, 100,
      0.6),
     ("replicase_ny98", NY98_CMDS, ny98_state, 60, 30, 1.0),
+    ("replicase_m10", M10_CMDS, m10_state, 40, 20, 1.5),
 ]
 
 
