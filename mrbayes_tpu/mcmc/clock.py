@@ -951,6 +951,85 @@ def move_spr_clock(key, state, tuning, n_tips):
     return st, jnp.where(ok, lnH, NEG_INF)
 
 
+def make_pars_spr_clock_move(pars_masks, pars_factors):
+    """Parsimony-biased SPR for clock trees (reference Move_ParsSPRClock,
+    src/proposal.c:11896, default weight 10): same age-window surgery as
+    move_spr_clock, but the regraft edge is drawn from a softmax over
+    Fitch parsimony scores of the detached tree (the Move_ParsSPR scoring
+    re-used under the clock validity mask).  The detached main tree is
+    identical in the forward and reverse directions, so one Fitch pass
+    scores both softmaxes."""
+    from ..ops.traversal import postorder_internal
+
+    def move(key, state, tuning, n_tips):
+        root = 2 * n_tips - 2
+        n_nodes = 2 * n_tips - 1
+        parent, left, right = (state["parent"], state["left"],
+                               state["right"])
+        age = state["age"]
+        k1, k2, k3 = jax.random.split(key, 3)
+        idx = jnp.arange(n_nodes)
+        vmask = (idx != root) & (parent != root) & (parent >= 0)
+        v = _masked_choice(k1, vmask)
+        p = parent[v]
+        g = parent[p]
+        s = jnp.where(left[p] == v, right[p], left[p])
+        sub = _subtree_mask(parent, v)
+        par_age = jnp.where(parent >= 0, age[jnp.maximum(parent, 0)], -1.0)
+        win_lo = jnp.maximum(age, age[v])
+        wmask = ((~sub) & (idx != root) & (idx != p) & (idx != s)
+                 & (parent >= 0) & (par_age > win_lo))
+        n_fwd = jnp.sum(wmask)
+
+        # Fitch pass on the detached tree for the parsimony scores
+        st = _replace_child(state, g, p, s)
+        P2, L2, R2 = st["parent"], st["left"], st["right"]
+        F = jnp.zeros((n_nodes, pars_masks.shape[1]), jnp.uint32)
+        F = F.at[:n_tips].set(pars_masks)
+        order = postorder_internal(P2, n_tips)
+
+        def fstep(F, u):
+            a, b = F[L2[u]], F[R2[u]]
+            inter = a & b
+            return F.at[u].set(jnp.where(inter > 0, inter, a | b)), None
+
+        F, _ = jax.lax.scan(fstep, F, order)
+        par_eff = jnp.where(P2 == root, 0, jnp.maximum(P2, 0))
+        y = (F | F[par_eff]) & F[v][None, :]
+        d = tuning * jnp.sum(
+            jnp.where(y == 0, pars_factors[None, :], 0.0), axis=-1)
+
+        fwd_logits = jnp.where(wmask, -d, NEG_INF)
+        valid = n_fwd > 0
+        w = jnp.where(valid, jax.random.categorical(k2, fwd_logits), s)
+        lnq_fwd = fwd_logits[w] - jax.scipy.special.logsumexp(fwd_logits)
+        gw = parent[w]
+        lo = jnp.maximum(age[w], age[v])
+        hi = age[gw]
+        new_age_p = lo + (hi - lo) * jax.random.uniform(k3)
+        st = _replace_child(st, gw, w, p)
+        st = _replace_child(st, p, s, w)
+        st = {**st, "age": st["age"].at[p].set(new_age_p)}
+        w_fwd = hi - lo
+        w_bwd = age[g] - jnp.maximum(age[s], age[v])
+        parent2 = st["parent"]
+        par_age2 = jnp.where(parent2 >= 0,
+                             st["age"][jnp.maximum(parent2, 0)], -1.0)
+        wmask2 = ((~_subtree_mask(parent2, v)) & (idx != root) & (idx != p)
+                  & (idx != w) & (parent2 >= 0)
+                  & (par_age2 > jnp.maximum(st["age"], st["age"][v])))
+        rev_logits = jnp.where(wmask2, -d, NEG_INF)
+        lnq_rev = rev_logits[s] - jax.scipy.special.logsumexp(rev_logits)
+        ok = valid & (w_fwd > 0) & (w_bwd > 0)
+        lnH = (lnq_rev - lnq_fwd
+               + jnp.log(jnp.maximum(w_fwd, 1e-30))
+               - jnp.log(jnp.maximum(w_bwd, 1e-30)))
+        return st, jnp.where(ok, lnH, NEG_INF)
+
+    move.__name__ = "move_pars_spr_clock"
+    return move
+
+
 def make_tip_date_move(tips: "np.ndarray", los: "np.ndarray",
                        his: "np.ndarray"):
     """Uniform slide of one calibrated tip's age within its calibration

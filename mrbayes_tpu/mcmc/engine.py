@@ -931,6 +931,12 @@ class Engine:
             mk.append(MoveSpec("local_clock",
                                partial(C.move_local_clock, n_tips=n),
                                3.0, 0.0, tunable=False))
+            mk.append(MoveSpec(
+                "pars_spr_clock",
+                partial(C.make_pars_spr_clock_move(self._pars_masks,
+                                                   self._pars_factors),
+                        n_tips=n),
+                5.0, 0.1, 0.25, -1, 0.01, 1.0))
             mk.append(MoveSpec("spr_clock",
                                partial(C.move_spr_clock, n_tips=n),
                                5.0, 0.0, tunable=False))

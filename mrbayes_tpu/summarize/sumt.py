@@ -16,20 +16,30 @@ from ..trees import Tree, parse_newick
 from .sump import find_run_files
 
 
-def read_t_file(path: str, taxa_hint: list[str] | None = None):
+def read_t_file(path: str, taxa_hint: list[str] | None = None,
+                rooted: bool = False):
     nf = read_nexus_file(path)
     taxa = taxa_hint
     if nf.translate:
         taxa = [nf.translate[k] for k in
                 sorted(nf.translate, key=lambda x: int(x))]
-    trees = [parse_newick(t.newick, taxa) for t in nf.trees]
+    trees = [parse_newick(t.newick, taxa, rooted=rooted)
+             for t in nf.trees]
     return taxa, trees
 
 
 class TreeSummary:
-    def __init__(self, n_runs: int, taxa: list[str]):
+    """rooted=True switches from unrooted split semantics to rooted
+    CLADE semantics (clock trees): clades are not complement-normalized,
+    so e.g. {0,1} and its complement count as distinct groups, matching
+    the reference's rooted sumt (sumtParams.isRooted,
+    src/sumpt.c:4899ff)."""
+
+    def __init__(self, n_runs: int, taxa: list[str],
+                 rooted: bool = False):
         self.taxa = taxa
         self.n = len(taxa)
+        self.rooted = rooted
         self.counter = SplitCounter(n_runs)
         self.blen_sum: dict[frozenset, float] = {}
         self.blen_sumsq: dict[frozenset, float] = {}
@@ -38,7 +48,8 @@ class TreeSummary:
         self.n_trees = 0
 
     def add(self, run: int, t: Tree):
-        self.counter.add(run, t)
+        if not self.rooted:
+            self.counter.add(run, t)
         self.n_trees += 1
         splits = []
         # per-split branch lengths: map each edge to its normalized split
@@ -47,6 +58,26 @@ class TreeSummary:
             below[v] = {v}
         for v in t.postorder():
             below[v] = below[t.left[v]] | below[t.right[v]]
+        if self.rooted:
+            for v in range(t.n_nodes - 1):
+                s = below[v]
+                key = frozenset(s)
+                length = float(t.blen[v])
+                self.blen_sum[key] = self.blen_sum.get(key, 0.0) + length
+                self.blen_sumsq[key] = (self.blen_sumsq.get(key, 0.0)
+                                        + length ** 2)
+                self.blen_count[key] = self.blen_count.get(key, 0) + 1
+                if 1 < len(s) < self.n:
+                    splits.append(key)
+                    if key not in self.counter.counts:
+                        self.counter.counts[key] = np.zeros(
+                            self.counter.n_runs, np.int64)
+                    self.counter.counts[key][run] += 1
+            self.counter.n_trees[run] += 1
+            self.counter.samples = None
+            topo = tuple(sorted(splits, key=sorted))
+            self.topo_counts[topo] = self.topo_counts.get(topo, 0) + 1
+            return
         for v in range(t.n_nodes - 1):
             if v == 0 and not t.rooted:
                 # tip0's pendant edge is carried by the basal node
@@ -87,7 +118,8 @@ class TreeSummary:
     def consensus_newick(self, allcompat: bool = False,
                          figtree: bool = False) -> str:
         chosen, freq = self.consensus(allcompat)
-        children = _containment_forest(chosen, self.n)
+        children = _containment_forest(chosen, self.n,
+                                       rooted=self.rooted)
         def mean_blen(key):
             c = self.blen_count.get(key, 0)
             return self.blen_sum.get(key, 0.0) / c if c else 0.0
@@ -117,6 +149,9 @@ class TreeSummary:
                  if item in self.counter.counts else 1.0)
             return f"({inner}){annot(item, f)}:{mean_blen(item):.8f}"
 
+        if self.rooted:
+            return "(" + ",".join(render(k)
+                                  for k in children["root"]) + ");"
         top = ",".join(render(k) for k in children["root"])
         tip0 = f"1{annot(frozenset([0]), 1.0)}:{mean_blen(frozenset([0])):.8f}"
         return f"({tip0},{top});"
@@ -137,7 +172,8 @@ class TreeSummary:
                                      bitorder="little")
                 k = frozenset(int(i) for i in np.flatnonzero(bits[:self.n]))
             splits.append(k)
-        children = _containment_forest(splits, self.n)
+        children = _containment_forest(splits, self.n,
+                                       rooted=self.rooted)
 
         def render(item) -> str:
             if isinstance(item, frozenset) and len(item) == 1:
@@ -146,18 +182,23 @@ class TreeSummary:
             return "(" + ",".join(render(k) for k in children[item]) + ")"
 
         top = ",".join(render(k) for k in children["root"])
+        if self.rooted:
+            return f"({top})"
         return f"(1,{top})"
 
 
-def _containment_forest(chosen: list, n: int) -> dict:
+def _containment_forest(chosen: list, n: int, rooted: bool = False) -> dict:
     """Containment forest over splits: parent = smallest chosen split
-    strictly containing the node's set; "root" = full set minus tip0.
+    strictly containing the node's set; "root" = full set minus tip0
+    (unrooted) or the full set (rooted: every tip hangs off the forest).
     Values are child lists of splits / tip singletons."""
     chosen_sorted = sorted(chosen, key=len)
     children: dict[object, list] = {"root": []}
     for s in chosen_sorted:
         children[s] = []
-    for item in list(chosen_sorted) + [frozenset([i]) for i in range(1, n)]:
+    first_tip = 0 if rooted else 1
+    for item in list(chosen_sorted) + [frozenset([i])
+                                       for i in range(first_tip, n)]:
         if isinstance(item, frozenset) and len(item) == 1 \
                 and item in children:
             continue
@@ -185,9 +226,12 @@ def sumt(prefix: str, burninfrac: float = 0.25, log=print,
     # labels, parse errors, or a missing compiler
     from .fast_t import add_run_native, read_translate
     texts = [open(p).read() for p in files]
+    # rooted (clock) samples -> clade semantics via the Python reader
+    # (the native fast path canonicalizes to unrooted splits)
+    rooted = "[&R]" in texts[0]
     taxa = read_translate(texts[0])
     ts = None
-    if taxa is not None:
+    if taxa is not None and not rooted:
         ts = TreeSummary(len(files), taxa)
         for r, text in enumerate(texts):
             if not add_run_native(ts, r, text, burninfrac):
@@ -197,10 +241,10 @@ def sumt(prefix: str, burninfrac: float = 0.25, log=print,
         taxa = None
         per_run_trees = []
         for path in files:
-            taxa, trees = read_t_file(path, taxa)
+            taxa, trees = read_t_file(path, taxa, rooted=rooted)
             burn = int(len(trees) * burninfrac)
             per_run_trees.append(trees[burn:])
-        ts = TreeSummary(len(files), taxa)
+        ts = TreeSummary(len(files), taxa, rooted=rooted)
         for r, trees in enumerate(per_run_trees):
             for t in trees:
                 ts.add(r, t)
@@ -244,7 +288,8 @@ def sumt(prefix: str, burninfrac: float = 0.25, log=print,
                 sep = "," if i < len(taxa) - 1 else ";"
                 f.write(f"       {i + 1} {name}{sep}\n")
             fig = ts.consensus_newick(allcompat, figtree=True)
-            f.write(f"   tree con_all_compat = [&U] {fig}\nend;\n")
+            tag = "&R" if ts.rooted else "&U"
+            f.write(f"   tree con_all_compat = [{tag}] {fig}\nend;\n")
         with open(f"{prefix}.trprobs", "w") as f:
             # reference TreeProb output format (src/sumpt.c:8652-8671):
             # header comment, translate table, one 'tree tree_<i> [p,P] =

@@ -163,3 +163,38 @@ def test_local_clock_invariants(rng):
             changed += 1
         state = new
     assert changed > 20
+
+
+def test_pars_spr_clock_invariants(dataset, rng):
+    """ParsSPRClock: Fitch-scored clock SPR keeps ages valid and mixes
+    (reference Move_ParsSPRClock, src/proposal.c:11896)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mrbayes_tpu.mcmc.clock import make_pars_spr_clock_move
+    ts = TreeSettings(clock=True)
+    eng = Engine(dataset, [DivisionSettings(nst="1")], tree_settings=ts,
+                 mcmc=McmcSettings(nruns=1, nchains=1, seed=3))
+    fn = make_pars_spr_clock_move(eng._pars_masks, eng._pars_factors)
+    n = eng.n_tips
+    t, ages = random_clock_tree(n, rng)
+    state = {"left": jnp.asarray(t.left), "right": jnp.asarray(t.right),
+             "parent": jnp.asarray(t.parent),
+             "age": jnp.asarray(ages, jnp.float32)}
+    jfn = jax.jit(lambda k, s: fn(k, s, jnp.float32(0.2), n_tips=n))
+    changed = 0
+    for i in range(50):
+        new, lnh = jfn(jax.random.PRNGKey(i), state)
+        if float(lnh) <= -1e29:
+            continue
+        P = np.asarray(new["parent"])
+        L = np.asarray(new["left"])
+        R = np.asarray(new["right"])
+        A = np.asarray(new["age"])
+        for v in range(2 * n - 2):
+            assert L[P[v]] == v or R[P[v]] == v
+            assert A[P[v]] > A[v] - 1e-7
+        if not np.array_equal(P, np.asarray(state["parent"])):
+            changed += 1
+        state = new
+    assert changed > 25

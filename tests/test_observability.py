@@ -108,3 +108,32 @@ def test_debug_invariants_run(tmp_path, monkeypatch):
     it.run_line(f"mcmc ngen=150 nruns=1 nchains=2 samplefreq=50 "
                 f"printfreq=150 diagnfreq=150 file={prefix}")
     assert (tmp_path / "dbg.run1.p").exists()
+
+
+def test_rooted_sumt_clade_semantics(tmp_path):
+    """Clock-tree sumt uses rooted CLADE semantics: a clade and its
+    complement are distinct groups (the unrooted reader would merge
+    them), and the consensus is rendered rooted."""
+    from mrbayes_tpu.summarize.sumt import sumt
+    t_text = """#NEXUS
+begin trees;
+   translate
+       1 a,
+       2 b,
+       3 c,
+       4 d;
+   tree gen.0 = [&R] (((1:0.1,2:0.1):0.2,3:0.3):0.1,4:0.4);
+   tree gen.1 = [&R] (((1:0.1,2:0.1):0.2,3:0.3):0.1,4:0.4);
+   tree gen.2 = [&R] ((1:0.2,2:0.2):0.2,(3:0.2,4:0.2):0.2);
+end;
+"""
+    (tmp_path / "r.run1.t").write_text(t_text)
+    res = sumt(str(tmp_path / "r"), burninfrac=0.0, log=lambda m: None)
+    fr = res["split_freqs"]
+    # clade {a,b} in all three trees; clade {a,b,c} in two; clade {c,d}
+    # in one — under unrooted semantics {c,d} and {a,b} would merge
+    assert abs(fr[frozenset({0, 1})] - 1.0) < 1e-9
+    assert abs(fr[frozenset({0, 1, 2})] - 2 / 3) < 1e-9
+    assert abs(fr[frozenset({2, 3})] - 1 / 3) < 1e-9
+    con = (tmp_path / "r.con.tre").read_text()
+    assert "[&R]" in con
