@@ -46,6 +46,17 @@ M10_CMDS = [
     f"execute {EXAMPLES}/replicase.nex",
     "lset nucmodel=codon omegavar=m10",
 ]
+COV_CMDS = [
+    f"execute {EXAMPLES}/primates.nex",
+    "lset nst=2 covarion=yes",
+]
+DBL_CMDS = [
+    f"execute {EXAMPLES}/kim.nex",
+    "set partition=by_gene_and_struct",
+    "lset applyto=(1) nucmodel=doublet nst=6",
+    "prset applyto=(2,4) statefreqpr=fixed(equal)",
+    "prset applyto=(3,5,6) statefreqpr=fixed(equal)",
+]
 
 REVS = ("A<->C", "A<->G", "A<->T", "C<->G", "C<->T", "G<->T")
 
@@ -116,12 +127,34 @@ def m10_state(row, eng):
     return st
 
 
+def cov_state(row, eng):
+    return {
+        "tratio": [[float(row["kappa"])]],
+        "pi": [[float(row[f"pi({b})"]) for b in "ACGT"]],
+        "covswitch": [[float(row["s(off->on)"]),
+                       float(row["s(on->off)"])]],
+    }
+
+
+def dbl_state(row, eng):
+    # reference doublet state labels A/B/C/D = A/C/G/T, row-major
+    # (first base x second base) — same order as our pi16 layout
+    DL = "ABCD"
+    names = [a + b for a in DL for b in DL]
+    return {
+        "revmat": [[float(row[f"r({r}){{1}}"]) for r in REVS]],
+        "pi16": [[float(row[f"pi({n}){{1}}"]) for n in names]],
+    }
+
+
 CONFIGS = [
     ("kim_hky_g_mixed4", KIM_CMDS, kim_state, 200, 100, 0.6),
     ("primates_part2_unlinked_gtr_g", PART_CMDS, part_state, 200, 100,
      0.6),
     ("replicase_ny98", NY98_CMDS, ny98_state, 60, 30, 1.0),
     ("replicase_m10", M10_CMDS, m10_state, 40, 20, 1.5),
+    ("primates_covarion_hky", COV_CMDS, cov_state, 60, 30, 1.0),
+    ("kim_stems_doublet_gtr", DBL_CMDS, dbl_state, 60, 30, 1.0),
 ]
 
 
