@@ -671,7 +671,7 @@ class Interpreter:
                   "shapepr", "pinvarpr", "ratecorrpr", "covswitchpr",
                   "omegapr", "ny98omega1pr", "ny98omega3pr",
                   "codoncatfreqpr", "m3omegapr", "m10betapr", "m10gammapr",
-                  "ratepr", "aamodelpr",
+                  "ratepr", "aamodelpr", "aarevmatpr",
                   "brlenspr", "topologypr", "clockvarpr", "clockratepr",
                   "treeagepr", "igrvarpr", "ilnvarpr", "tk02varpr",
                   "wnvarpr", "mixedvarpr", "cppratepr", "cppmultdevpr",
@@ -732,8 +732,18 @@ class Interpreter:
                     s.symdirihyperpr = prior
                 elif key == "aamodelpr":
                     if prior.kind == "fixed" and prior.params:
-                        s.aamodel = str(prior.params[0])
+                        name = str(prior.params[0]).lower()
+                        valid = ("poisson", "jones", "dayhoff", "mtrev",
+                                 "mtmam", "wag", "rtrev", "cprev", "vt",
+                                 "blosum", "lg", "equalin", "gtr")
+                        if name not in valid:
+                            raise CommandError(
+                                f"unknown amino-acid model '{name}' "
+                                f"(valid: {', '.join(valid)})")
+                        s.aamodel = name
                     s.aamodelpr = prior
+                elif key == "aarevmatpr":
+                    s.aarevmatpr = prior
                 elif key == "brlenspr":
                     self._set_brlenspr(val)
                 elif key == "topologypr":

@@ -70,6 +70,8 @@ class DivCfg:
     m3_group: int = -1            # omegavar=m3 (three ordered omegas)
     m10_group: int = -1           # omegavar=m10 (beta + 1+gamma mixture)
     aamodel_group: int = -1       # aamodelpr=mixed (rjMCMC over aa models)
+    aarevmat_group: int = -1      # aamodel=gtr sampled 190 exchangeabilities
+    fixed_aarevmat: np.ndarray | None = None  # aarevmatpr=fixed(...)
     covswitch_group: int = -1     # covarion=yes, sampled switch rates
     fixed_covswitch: np.ndarray | None = None  # covswitchpr=fixed(s01,s10)
     doublet: bool = False         # nucmodel=doublet (16-state stem pairs)
@@ -83,6 +85,11 @@ class DivCfg:
     sympi_group: int = -1         # sampled multistate standard pi
     sympi_field: str = ""         # state field name ("sympi<k>")
     n_rate_cats: int = 1          # gamma cats (n_cats may fold beta cats)
+
+
+def _AA_MODEL_NAMES():
+    from ..models.aa_models import AA_MODELS
+    return set(AA_MODELS)
 
 
 def _scalar_prior_lpdf(prior: Prior, x):
@@ -469,6 +476,12 @@ class Engine:
                 # rjMCMC over the 10 empirical aa models + poisson
                 # (reference Move_Aamodel src/proposal.c:66)
                 cfg.aamodel_group = group_of("aamodel", d, "mixed")
+            elif is_prot and s.aamodel not in ("poisson", "equalin",
+                                               "gtr") \
+                    and s.aamodel not in _AA_MODEL_NAMES():
+                raise ValueError(
+                    f"unsupported amino-acid model {s.aamodel!r}; valid: "
+                    f"{', '.join(sorted(_AA_MODEL_NAMES()))}, equalin, gtr")
             elif is_prot and s.aamodel not in ("poisson", "equalin", "gtr"):
                 # empirical aa model: frequencies are part of the model and
                 # never sampled (reference: no pi columns in .p for
@@ -489,6 +502,22 @@ class Engine:
                 else:
                     cfg.fixed_pi = np.full(div.n_states,
                                            1.0 / div.n_states)
+            if is_prot and s.aamodelpr.kind != "mixed" \
+                    and s.aamodel == "gtr":
+                # protein GTR: 190 sampled (or fixed) exchangeabilities
+                # under aarevmatpr (reference REVMAT_DIR with nValues=190,
+                # src/model.c:19240,19262; prior src/model.c:4992)
+                if s.aarevmatpr.kind == "fixed":
+                    p = np.asarray([float(x) for x in s.aarevmatpr.params],
+                                   np.float64)
+                    cfg.fixed_aarevmat = (np.full(190, p[0]) if p.size == 1
+                                          else p)
+                    if cfg.fixed_aarevmat.size != 190:
+                        raise ValueError(
+                            "aarevmatpr=fixed needs 1 or 190 values")
+                else:
+                    cfg.aarevmat_group = group_of("aarevmat", d,
+                                                  repr(s.aarevmatpr))
             if is_nuc and s.nst in ("6", "mixed"):
                 cfg.revmat_group = group_of("revmat", d, repr(s.revmatpr)
                                             + s.nst)
@@ -572,6 +601,8 @@ class Engine:
             for param, gid, pr in [(cfg.pi_field, cfg.pi_group,
                                     s.statefreqpr),
                                    ("revmat", cfg.revmat_group, s.revmatpr),
+                                   ("aarevmat", cfg.aarevmat_group,
+                                    s.aarevmatpr),
                                    ("tratio", cfg.tratio_group, s.tratiopr),
                                    ("shape", cfg.shape_group, s.shapepr),
                                    ("pinvar", cfg.pinvar_group, s.pinvarpr),
@@ -1252,6 +1283,17 @@ class Engine:
                 partial(M.make_simplex_move("revmat", groups=plain_rev),
                         n_tips=n),
                 2.0, 200.0, 0.25, -1, 1.0, 1e5))
+        if self.n_groups.get("aarevmat"):
+            # protein GTR exchangeabilities: same Dirichlet proposal the
+            # reference applies to REVMAT_DIR params of any size
+            # (Move_Revmat_Dir, src/model.c:22913)
+            # reference tuning is alphaPi=100 *per rate* (alphaPi*nRates
+            # in Move_Revmat_Dir); our proposal concentration is total,
+            # so start at 100*190
+            mk.append(MoveSpec(
+                "aarevmat_dir",
+                partial(M.make_simplex_move("aarevmat"), n_tips=n),
+                2.0, 19000.0, 0.25, -1, 1.0, 1e7))
         if self._mixed_rev:
             from . import mixed_gtr as MG
             gids = jnp.asarray(sorted(self._mixed_rev))
@@ -1338,6 +1380,7 @@ class Engine:
         q_moves = {"pi_dir", "pi20_dir", "pi2_dir", "pi61_dir", "pi16_dir",
                    "omega_mult", "omega1_slider", "omega3_mult",
                    "m3omega_slider", "aamodel_jump", "revmat_dir",
+                   "aarevmat_dir",
                    "revmat_splitmerge", "revmat_dirmix", "tratio_mult",
                    "omegaprobs_dir", "m3probs_dir",
                    "m10beta_mult", "m10gamma_mult", "m10probs_dir"}
@@ -1571,6 +1614,9 @@ class Engine:
             k = ks.pop()
             st["mixtrates"] = jnp.full(
                 (self.n_groups["mixtrates"], k), 1.0 / k)
+        if self.n_groups.get("aarevmat"):
+            st["aarevmat"] = jnp.full(
+                (self.n_groups["aarevmat"], 190), 1.0 / 190)
         if self.n_groups.get("revmat"):
             st["revmat"] = jnp.full((self.n_groups["revmat"], 6), 1.0 / 6)
             if self._mixed_rev:
@@ -1694,10 +1740,17 @@ class Engine:
                 idx = state["aamodel_idx"][cfg.aamodel_group]
                 exch = exch_stack[idx]
                 pi = pi_stack[idx]
+            elif cfg.aarevmat_group >= 0:
+                # protein GTR: sampled 190-dim exchangeability simplex
+                exch = state["aarevmat"][cfg.aarevmat_group]
+            elif cfg.fixed_aarevmat is not None:
+                exch = jnp.asarray(cfg.fixed_aarevmat, jnp.float32)
             else:
-                exch = jnp.asarray(
-                    AA_MODELS.get(s.aamodel, AA_MODELS["poisson"])[0],
-                    jnp.float32)
+                # equalin = Poisson exchangeabilities with sampled pi;
+                # anything else must be a known empirical matrix (the
+                # setup already rejected unknown names)
+                key = "poisson" if s.aamodel == "equalin" else s.aamodel
+                exch = jnp.asarray(AA_MODELS[key][0], jnp.float32)
             Q = reversible_q(exch, pi)
         elif cfg.div.dtype in (DataType.DNA, DataType.RNA):
             if s.nst == "1":
@@ -2124,7 +2177,7 @@ class Engine:
                 lp = lp + ln_prior_mixed(state["gtr_class"][gid],
                                          state["revmat"][gid], symdir)
             elif param in ("pi", "pi20", "pi2", "pi61", "pi16", "revmat",
-                           "mixtrates"):
+                           "aarevmat", "mixtrates"):
                 x = state[param][gid]
                 alpha = jnp.full(x.shape, pr.params[0] if pr.params else 1.0)
                 lp = lp + dirichlet_lpdf(x, alpha)

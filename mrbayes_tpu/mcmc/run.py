@@ -30,8 +30,14 @@ def param_columns(eng: Engine):
     def suffix(param, gid):
         if not multi:
             return ""
-        divs = [i + 1 for i, c in enumerate(eng.div_cfg)
-                if getattr(c, f"{param}_group") == gid]
+        if param.startswith("pi"):
+            # state-frequency fields share one group attr (pi_group)
+            # keyed by pi_field (pi / pi20 / pi16 / pi61 / pi2)
+            divs = [i + 1 for i, c in enumerate(eng.div_cfg)
+                    if c.pi_field == param and c.pi_group == gid]
+        else:
+            divs = [i + 1 for i, c in enumerate(eng.div_cfg)
+                    if getattr(c, f"{param}_group") == gid]
         if len(divs) == n_div:
             return "{all}"
         return "{" + ",".join(map(str, divs)) + "}"
@@ -121,6 +127,18 @@ def param_columns(eng: Engine):
                          lambda st, s, g=gid: float("".join(
                              str(int(x) + 1)
                              for x in np.asarray(st["gtr_class"][s, g])))))
+    AA = "ARNDCQEGHILKMFPSTWYV"
+    for gid in range(eng.n_groups.get("aarevmat", 0)):
+        # reference header: r(A<->R)... upper-triangle in StateCode_AA
+        # order (src/model.c:19267-19285)
+        k = 0
+        for i in range(20):
+            for j in range(i + 1, 20):
+                cols.append((f"r({AA[i]}<->{AA[j]})"
+                             + suffix("aarevmat", gid),
+                             lambda st, s, g=gid, k=k:
+                             float(st["aarevmat"][s, g, k])))
+                k += 1
     for gid in range(eng.n_groups.get("tratio", 0)):
         cols.append(("kappa" + suffix("tratio", gid),
                      lambda st, s, g=gid: float(st["tratio"][s, g])))
@@ -145,6 +163,30 @@ def param_columns(eng: Engine):
         for k, nm in enumerate("ACGT"):
             cols.append((f"pi({nm})" + suffix("pi", gid),
                          lambda st, s, g=gid, k=k: float(st["pi"][s, g, k])))
+    aa3 = ("Ala", "Arg", "Asn", "Asp", "Cys", "Gln", "Glu", "Gly", "His",
+           "Ile", "Leu", "Lys", "Met", "Phe", "Pro", "Ser", "Thr", "Trp",
+           "Tyr", "Val")
+    for gid in range(eng.n_groups.get("pi20", 0)):
+        # reference prints 3-letter AA names (WhichAA / pi(Ala) columns)
+        for k, nm in enumerate(aa3):
+            cols.append((f"pi({nm})" + suffix("pi20", gid),
+                         lambda st, s, g=gid, k=k:
+                         float(st["pi20"][s, g, k])))
+    for gid in range(eng.n_groups.get("pi2", 0)):
+        for k, nm in enumerate(("0", "1")):
+            cols.append((f"pi({nm})" + suffix("pi2", gid),
+                         lambda st, s, g=gid, k=k:
+                         float(st["pi2"][s, g, k])))
+    for gid in range(eng.n_groups.get("pi61", 0)):
+        code = next(c.codon for c in eng.div_cfg
+                    if c.pi_group == gid and c.pi_field == "pi61")
+        from ..models.codes import BASES
+        names = ["".join(BASES[b] for b in code.bases[k])
+                 for k in range(code.n_states)]
+        for k, nm in enumerate(names):
+            cols.append((f"pi({nm})" + suffix("pi61", gid),
+                         lambda st, s, g=gid, k=k:
+                         float(st["pi61"][s, g, k])))
     doublets = [a + b for a in "ACGT" for b in "ACGT"]
     for gid in range(eng.n_groups.get("pi16", 0)):
         for k, nm in enumerate(doublets):

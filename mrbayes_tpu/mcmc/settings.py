@@ -66,6 +66,11 @@ class DivisionSettings:
         "uniform", (0.0, 100.0)))     # covarion s01,s10 (bayes.c:784-785)
     aamodel: str = "poisson"          # protein: poisson|jones|dayhoff|mtrev|...
     aamodelpr: Prior = field(default_factory=lambda: Prior("fixed", ()))
+    # protein GTR: prior on the 190 sampled exchangeabilities under
+    # aamodelpr=fixed(gtr) (reference aaRevMatPr/aaRevMatDir,
+    # src/model.c:4992-5160)
+    aarevmatpr: Prior = field(default_factory=lambda: Prior(
+        "dirichlet", (1.0,)))
     symdirihyperpr: Prior = field(default_factory=lambda: Prior("fixed", (-1.0,)))
     ratepr: str = "fixed"             # fixed | variable
     # continuous (Brownian-motion) characters.  NOTE: the reference's own

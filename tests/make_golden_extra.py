@@ -60,7 +60,19 @@ DBL_CMDS = [
     "prset applyto=(3,5,6) statefreqpr=fixed(equal)",
 ]
 
+AAGTR_CMDS = [
+    f"execute {EXAMPLES}/kim.nex",
+    "prset applyto=(1,2) statefreqpr=fixed(equal)",
+    "prset applyto=(3) aamodelpr=fixed(gtr)",
+]
+
 REVS = ("A<->C", "A<->G", "A<->T", "C<->G", "C<->T", "G<->T")
+AA = "ARNDCQEGHILKMFPSTWYV"
+AA3 = ("Ala", "Arg", "Asn", "Asp", "Cys", "Gln", "Glu", "Gly", "His",
+       "Ile", "Leu", "Lys", "Met", "Phe", "Pro", "Ser", "Thr", "Trp",
+       "Tyr", "Val")
+AA_PAIRS = [f"{AA[i]}<->{AA[j]}" for i in range(20)
+            for j in range(i + 1, 20)]
 
 
 def kim_state(row, eng):
@@ -151,6 +163,14 @@ def dbl_state(row, eng):
     }
 
 
+def aagtr_state(row, eng):
+    # protein GTR on kim division 3: sampled pi20 + 190 exchangeabilities
+    return {
+        "aarevmat": [[float(row[f"r({p}){{3}}"]) for p in AA_PAIRS]],
+        "pi20": [[float(row[f"pi({a}){{3}}"]) for a in AA3]],
+    }
+
+
 CONFIGS = [
     ("kim_hky_g_mixed4", KIM_CMDS, kim_state, 200, 100, 0.6),
     ("primates_part2_unlinked_gtr_g", PART_CMDS, part_state, 200, 100,
@@ -159,6 +179,7 @@ CONFIGS = [
     ("replicase_m10", M10_CMDS, m10_state, 40, 20, 1.5),
     ("primates_covarion_hky", COV_CMDS, cov_state, 60, 30, 1.0),
     ("kim_stems_doublet_gtr", DBL_CMDS, dbl_state, 60, 30, 1.0),
+    ("kim_protein_gtr", AAGTR_CMDS, aagtr_state, 60, 30, 1.0),
 ]
 
 

@@ -157,3 +157,15 @@ def test_prior_only_sampling(it, tmp_path):
     for ln in lines[2:]:
         row = dict(zip(hdr, ln.rstrip("\n").split("\t")))
         assert float(row["lnLike"]) == 0.0
+
+
+def test_unknown_aamodel_rejected():
+    """aamodelpr=fixed(<bad name>) must be a hard error, never a silent
+    Poisson fallback (protein GTR gap fixed in round 4)."""
+    it = Interpreter(log=lambda m: None)
+    it.run_line("execute /root/reference/examples/kim.nex")
+    with pytest.raises(CommandError):
+        it.run_line("prset applyto=(3) aamodelpr=fixed(gtrx)")
+    # the real model names and gtr are accepted
+    it.run_line("prset applyto=(3) aamodelpr=fixed(gtr)")
+    it.run_line("prset applyto=(3) aamodelpr=fixed(wag)")
