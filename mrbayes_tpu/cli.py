@@ -1139,75 +1139,164 @@ class Interpreter:
     def do_comparetree(self, args, base_dir):
         from .summarize.compare import comparetree
         f1 = f2 = out = None
-        burn = self.env.mcmc.burninfrac
+        kv = {}
         for key, val in self._kv_pairs(args):
-            if key == "filename1":
-                f1 = val[0]
-            elif key == "filename2":
-                f2 = val[0]
-            elif key == "outputname":
-                out = val[0]
-            elif key == "burninfrac":
-                burn = float(val[0])
+            key = self._canon_strict(key, self.COMPARETREE_KEYS,
+                                     "comparetree")
+            if key in self.COMPARETREE_NOOP:
+                self.log(f"   [comparetree option '{key}' accepted but "
+                         f"has no effect here (ignored)]")
+                continue
+            kv[key] = val
+        f1 = kv.get("filename1", [None])[0]
+        f2 = kv.get("filename2", [None])[0]
+        out = kv.get("outputname", [None])[0]
         if not f1 or not f2:
             raise CommandError("comparetree needs filename1 and filename2")
-        comparetree(f1, f2, outputname=out, burninfrac=burn, log=self.log)
+        comparetree(f1, f2, outputname=out,
+                    burninfrac=self._burnin_frac(kv), log=self.log)
+
+    # full reference parameter surface (src/command.c Plot/Sump/Sumt
+    # param tables); keys listed in *_NOOP are accepted with a visible
+    # "(ignored)" note instead of erroring — they are reference-valid
+    # but have no effect here
+    PLOT_KEYS = ("filename", "file", "parameter", "match", "burnin",
+                 "burninfrac", "relburnin")
+    SUMP_KEYS = ("filename", "file", "outputname", "burnin", "burninfrac",
+                 "relburnin", "nruns", "hpd", "printtofile", "plot",
+                 "table", "minprob")
+    SUMP_NOOP = ("table", "minprob")
+    SUMT_KEYS = ("filename", "file", "outputname", "burnin", "burninfrac",
+                 "relburnin", "nruns", "ntrees", "contype", "conformat",
+                 "minpartfreq", "calctreeprobs", "showtreeprobs", "hpd",
+                 "savebrparams", "minbrparamfreq", "ordertaxa", "table",
+                 "summary", "consensus")
+    SUMT_NOOP = ("showtreeprobs", "hpd", "savebrparams", "minbrparamfreq",
+                 "ordertaxa", "table", "summary", "consensus")
+    COMPARETREE_KEYS = ("filename1", "filename2", "outputname", "burnin",
+                        "burninfrac", "relburnin", "minpartfreq")
+    COMPARETREE_NOOP = ("minpartfreq",)
+
+    def _burnin_frac(self, kv, n_hint=None):
+        """Resolve relburnin/burninfrac/burnin triplet into a fraction.
+        Absolute 'burnin=N' needs the sample count; callers lacking it
+        treat N relative to the run's sample total at read time — here we
+        approximate with ngen/samplefreq as the reference's own default
+        display does."""
+        rel = kv.get("relburnin")
+        frac = self.env.mcmc.burninfrac
+        if "burninfrac" in kv:
+            frac = float(kv["burninfrac"][0])
+        if "burnin" in kv and (rel is None or
+                               rel[0].lower().startswith("n")):
+            n = int(kv["burnin"][0])
+            total = max(1, self.env.mcmc.ngen // max(
+                1, self.env.mcmc.samplefreq))
+            frac = min(0.99, n / total)
+        return frac
 
     def do_plot(self, args, base_dir):
         from .summarize.compare import plot
         prefix = self.env.mcmc.filename
         param = "LnL"
-        burn = self.env.mcmc.burninfrac
+        kv = {}
         for key, val in self._kv_pairs(args):
-            if key in ("filename", "file"):
-                prefix = val[0]
-            elif key == "parameter":
-                param = val[0]
-            elif key == "burninfrac":
-                burn = float(val[0])
-        plot(prefix, parameter=param, burninfrac=burn, log=self.log)
+            key = self._canon_strict(key, self.PLOT_KEYS, "plot")
+            kv[key] = val
+        if "filename" in kv or "file" in kv:
+            prefix = kv.get("filename", kv.get("file"))[0]
+        if "parameter" in kv:
+            param = kv["parameter"][0]
+        if "match" in kv and kv["match"][0].lower() not in (
+                "perfect", "consistentwith", "all"):
+            raise CommandError("plot match must be "
+                               "perfect|consistentwith|all")
+        plot(prefix, parameter=param, burninfrac=self._burnin_frac(kv),
+             log=self.log)
 
     def do_sump(self, args, base_dir):
+        from .summarize.compare import plot as trace_plot
         from .summarize.sump import sump
-        burn = self.env.mcmc.burninfrac
         prefix = self.env.mcmc.filename
+        kv = {}
         for key, val in self._kv_pairs(args):
-            if key == "burninfrac":
-                burn = float(val[0])
-            elif key in ("filename", "file"):
-                prefix = val[0]
-        sump(prefix, burninfrac=burn, log=self.log)
+            key = self._canon_strict(key, self.SUMP_KEYS, "sump")
+            if key in self.SUMP_NOOP:
+                self.log(f"   [sump option '{key}' accepted but has no "
+                         f"effect here (ignored)]")
+                continue
+            kv[key] = val
+        if "filename" in kv or "file" in kv:
+            prefix = kv.get("filename", kv.get("file"))[0]
+        yes = lambda v: v[0].lower().startswith("y")  # noqa: E731
+        burn = self._burnin_frac(kv)
+        sump(prefix, burninfrac=burn, log=self.log,
+             hpd=yes(kv["hpd"]) if "hpd" in kv else True,
+             write_files=(yes(kv["printtofile"])
+                          if "printtofile" in kv else True),
+             outputname=kv.get("outputname", [None])[0],
+             nruns=int(kv["nruns"][0]) if "nruns" in kv else None)
+        if "plot" in kv and yes(kv["plot"]):
+            trace_plot(prefix, parameter="LnL", burninfrac=burn,
+                       log=self.log)
 
     def do_sumt(self, args, base_dir):
         from .summarize.sumt import sumt
-        burn = self.env.mcmc.burninfrac
         prefix = self.env.mcmc.filename
-        allcompat = False
+        kv = {}
         for key, val in self._kv_pairs(args):
-            if key == "burninfrac":
-                burn = float(val[0])
-            elif key in ("filename", "file"):
-                prefix = val[0]
-            elif key == "contype":
-                allcompat = "allcompat" in val[0].lower()
+            key = self._canon_strict(key, self.SUMT_KEYS, "sumt")
+            if key in self.SUMT_NOOP:
+                self.log(f"   [sumt option '{key}' accepted but has no "
+                         f"effect here (ignored)]")
+                continue
+            kv[key] = val
+        if "filename" in kv or "file" in kv:
+            prefix = kv.get("filename", kv.get("file"))[0]
+        yes = lambda v: v[0].lower().startswith("y")  # noqa: E731
+        burn = self._burnin_frac(kv)
+        allcompat = ("contype" in kv
+                     and "allcompat" in kv["contype"][0].lower())
+        conformat = "figtree"
+        if "conformat" in kv:
+            cf = kv["conformat"][0].lower()
+            if not ("figtree".startswith(cf) or "simple".startswith(cf)):
+                raise CommandError("sumt conformat must be "
+                                   "figtree|simple")
+            conformat = "simple" if "simple".startswith(cf) else "figtree"
+        opts = dict(
+            burninfrac=burn, log=self.log, allcompat=allcompat,
+            conformat=conformat,
+            minpartfreq=(float(kv["minpartfreq"][0])
+                         if "minpartfreq" in kv else 0.10),
+            calctreeprobs=(yes(kv["calctreeprobs"])
+                           if "calctreeprobs" in kv else True),
+            outputname=kv.get("outputname", [None])[0],
+            nruns=int(kv["nruns"][0]) if "nruns" in kv else None)
         import glob as _glob
         tree_pfx = sorted({p.rsplit(".run", 1)[0] for p in
                            _glob.glob(f"{prefix}.tree*.run*.t")})
+        if "ntrees" in kv and tree_pfx \
+                and int(kv["ntrees"][0]) != len(tree_pfx):
+            raise CommandError(
+                f"sumt ntrees={kv['ntrees'][0]} but "
+                f"{len(tree_pfx)} tree parameters found")
         if tree_pfx:
             # unlinked topologies: one summary per tree parameter
             # (reference sumt loops numTrees, src/sumpt.c:4899)
             for tp in tree_pfx:
                 self.log(f"   Summarizing tree parameter "
                          f"\"{tp[len(prefix) + 1:]}\"")
-                sumt(tp, burninfrac=burn, log=self.log,
-                     allcompat=allcompat)
+                topts = dict(opts)
+                if topts["outputname"]:
+                    topts["outputname"] += tp[len(prefix):]
+                sumt(tp, **topts)
                 self.log("   Consensus tree written to "
-                         f"\"{tp}.con.tre\"")
+                         f"\"{(topts['outputname'] or tp)}.con.tre\"")
         else:
-            sumt(prefix, burninfrac=burn, log=self.log,
-                 allcompat=allcompat)
+            sumt(prefix, **opts)
             self.log("   Consensus tree written to "
-                     f"\"{prefix}.con.tre\"")
+                     f"\"{(opts['outputname'] or prefix)}.con.tre\"")
 
     def do_showmodel(self, args, base_dir):
         self.env.ensure_div_settings()
@@ -1328,6 +1417,29 @@ class Interpreter:
     def do_about(self, args, base_dir):
         self.log("   mrbayes_tpu — TPU-native Bayesian phylogenetics "
                  "(MrBayes 3.2 capability set)")
+
+    # informational commands a reference drive file may contain; they
+    # must not kill the run (reference DoAcknowledgments/DoDisclaimer/
+    # DoShowBeagle/DoShowMcmcTrees, src/command.c)
+    def do_acknowledgments(self, args, base_dir):
+        self.log("   MrBayes was originally written by John Huelsenbeck "
+                 "and Fredrik Ronquist;")
+        self.log("   this TPU reimplementation follows the 3.2 "
+                 "capability surface.")
+
+    def do_disclaimer(self, args, base_dir):
+        self.log("   This software is distributed WITHOUT ANY WARRANTY, "
+                 "express or implied.")
+
+    def do_showbeagle(self, args, base_dir):
+        self.log("   BEAGLE is not used: likelihood evaluation runs on "
+                 "the built-in JAX/Pallas TPU engine (the role BEAGLE "
+                 "plays in the reference).")
+
+    def do_showmcmctrees(self, args, base_dir):
+        self.log("   No MCMC trees are held between commands: chain "
+                 "state lives on-device during mcmc and in the .ckp "
+                 "checkpoint between runs (see 'mcmc append=yes').")
 
     def do_version(self, args, base_dir):
         from . import __version__

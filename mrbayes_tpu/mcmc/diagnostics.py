@@ -139,11 +139,17 @@ def hpd_interval(x: np.ndarray, cred: float = 0.95):
     return float(xs[i]), float(xs[i + k - 1])
 
 
-def summarize_param(samples_per_run: list[np.ndarray]) -> dict:
+def summarize_param(samples_per_run: list[np.ndarray],
+                    hpd: bool = True) -> dict:
     """Mean/variance/median/HPD/ESS/PSRF table row (reference GetSummary
-    src/utils.c:648)."""
+    src/utils.c:648).  ``hpd=False`` reports the equal-tail 95%
+    percentile interval instead (reference sump Hpd=No)."""
     allx = np.concatenate(samples_per_run)
-    lo, hi = hpd_interval(allx)
+    if hpd:
+        lo, hi = hpd_interval(allx)
+    else:
+        lo, hi = (float(np.percentile(allx, 2.5)),
+                  float(np.percentile(allx, 97.5)))
     min_len = min(len(s) for s in samples_per_run)
     chains = np.stack([s[:min_len] for s in samples_per_run])
     return {

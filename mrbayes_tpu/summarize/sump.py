@@ -48,10 +48,17 @@ def harmonic_mean_lnl(lnl: np.ndarray) -> float:
 
 
 def sump(prefix: str, burninfrac: float = 0.25, log=print,
-         write_files: bool = True) -> dict:
+         write_files: bool = True, hpd: bool = True,
+         outputname: str | None = None, nruns: int | None = None) -> dict:
+    """``hpd=False``: equal-tail percentile intervals (sump Hpd=No);
+    ``outputname``: prefix for written files (sump Outputname);
+    ``nruns``: summarize only the first N run files (sump Nruns)."""
     files = find_run_files(prefix, "p")
     if not files:
         raise FileNotFoundError(f"no .p files match {prefix}")
+    if nruns is not None:
+        files = files[:nruns]
+    out_prefix = outputname or prefix
     runs = []
     header = None
     for path in files:
@@ -82,7 +89,7 @@ def sump(prefix: str, burninfrac: float = 0.25, log=print,
                                        counts[i] / len(allv))
                                       for i in order[:10]]
             continue
-        s = summarize_param(per_run)
+        s = summarize_param(per_run, hpd=hpd)
         results[name] = s
         if name in ("lnLike", "lnPrior"):
             continue
@@ -105,7 +112,7 @@ def sump(prefix: str, burninfrac: float = 0.25, log=print,
             f"{hm:.2f}")
         results.setdefault("_harmonic_mean", []).append(hm)
     if write_files:
-        with open(f"{prefix}.pstat", "w") as f:
+        with open(f"{out_prefix}.pstat", "w") as f:
             f.write("Parameter\tMean\tVariance\tLower\tUpper\tMedian\t"
                     "minESS\tavgESS\tPSRF\n")
             for name, s in results.items():
@@ -115,14 +122,14 @@ def sump(prefix: str, burninfrac: float = 0.25, log=print,
                         f"{s['hpd_lower']:.6e}\t{s['hpd_upper']:.6e}\t"
                         f"{s['median']:.6e}\t{s['min_ess']:.2f}\t"
                         f"{s['avg_ess']:.2f}\t{s['psrf']:.4f}\n")
-        with open(f"{prefix}.lstat", "w") as f:
+        with open(f"{out_prefix}.lstat", "w") as f:
             f.write("run\tharmonic_mean\n")
             for i, hm in enumerate(results.get("_harmonic_mean", [])):
                 f.write(f"{i + 1}\t{hm:.6e}\n")
         if model_indicators:
             # model-indicator probabilities (reference writes .mstat from
             # PrintModelStats, src/sumpt.c:2104)
-            with open(f"{prefix}.mstat", "w") as f:
+            with open(f"{out_prefix}.mstat", "w") as f:
                 f.write("Indicator\tModel\tProbability\n")
                 for name, models in model_indicators.items():
                     for code, p in models:

@@ -217,10 +217,23 @@ def _compatible(a: frozenset, b: frozenset) -> bool:
 
 
 def sumt(prefix: str, burninfrac: float = 0.25, log=print,
-         write_files: bool = True, allcompat: bool = False) -> dict:
+         write_files: bool = True, allcompat: bool = False,
+         minpartfreq: float = 0.10, conformat: str = "figtree",
+         calctreeprobs: bool = True,
+         outputname: str | None = None, nruns: int | None = None) -> dict:
+    """Reference sumt options carried (src/command.c Sumt params):
+    ``minpartfreq`` — bipartitions below this frequency are dropped from
+    the .parts/.vstat tables (default 0.10, reference Minpartfreq);
+    ``conformat`` — 'figtree' (annotated) or 'simple' .con.tre;
+    ``calctreeprobs`` — write .trprobs or skip it;
+    ``outputname`` — prefix for written files; ``nruns`` — first N runs.
+    """
     files = find_run_files(prefix, "t")
     if not files:
         raise FileNotFoundError(f"no .t files match {prefix}")
+    if nruns is not None:
+        files = files[:nruns]
+    out_prefix = outputname or prefix
     # fast path: C++ batch parser + vectorized accumulation
     # (native/treeio.cpp); falls back to the Python reader on named
     # labels, parse errors, or a missing compiler
@@ -259,61 +272,42 @@ def sumt(prefix: str, burninfrac: float = 0.25, log=print,
     log(f"   Credible splits (>50%): {len(chosen)}")
     con = ts.consensus_newick(allcompat)
     if write_files:
-        with open(f"{prefix}.parts", "w") as f:
+        with open(f"{out_prefix}.parts", "w") as f:
             f.write("ID\tPartition\tFreq\n")
-            for i, (s, fq) in enumerate(sorted(freq.items(),
-                                               key=lambda kv: -kv[1])):
+            shown = [(s, fq) for s, fq in sorted(freq.items(),
+                                                 key=lambda kv: -kv[1])
+                     if fq >= minpartfreq]
+            for i, (s, fq) in enumerate(shown):
                 bits = "".join("*" if j in s else "." for j in range(ts.n))
                 f.write(f"{i + 1}\t{bits}\t{fq:.6f}\n")
-        with open(f"{prefix}.tstat", "w") as f:
+        with open(f"{out_prefix}.tstat", "w") as f:
             f.write("ID\tFreq\tProbability\n")
             tot = sum(ts.topo_counts.values())
             for i, (topo, c) in enumerate(sorted(ts.topo_counts.items(),
                                                  key=lambda kv: -kv[1])):
                 f.write(f"{i + 1}\t{c}\t{c / tot:.6f}\n")
-        with open(f"{prefix}.vstat", "w") as f:
+        with open(f"{out_prefix}.vstat", "w") as f:
             f.write("Partition\tMean\tSD\tFreq\n")
             for s, fq in sorted(freq.items(), key=lambda kv: -kv[1]):
                 c = ts.blen_count.get(s, 0)
-                if not c:
+                if not c or fq < minpartfreq:
                     continue
                 m = ts.blen_sum[s] / c
                 var = ts.blen_sumsq[s] / c - m * m
                 bits = "".join("*" if j in s else "." for j in range(ts.n))
                 f.write(f"{bits}\t{m:.6e}\t{np.sqrt(max(var, 0)):.6e}\t"
                         f"{fq:.6f}\n")
-        with open(f"{prefix}.con.tre", "w") as f:
+        with open(f"{out_prefix}.con.tre", "w") as f:
             f.write("#NEXUS\nbegin trees;\n   translate\n")
             for i, name in enumerate(taxa):
                 sep = "," if i < len(taxa) - 1 else ";"
                 f.write(f"       {i + 1} {name}{sep}\n")
-            fig = ts.consensus_newick(allcompat, figtree=True)
+            fig = ts.consensus_newick(
+                allcompat, figtree=(conformat != "simple"))
             tag = "&R" if ts.rooted else "&U"
             f.write(f"   tree con_all_compat = [{tag}] {fig}\nend;\n")
-        with open(f"{prefix}.trprobs", "w") as f:
-            # reference TreeProb output format (src/sumpt.c:8652-8671):
-            # header comment, translate table, one 'tree tree_<i> [p,P] =
-            # [&W p] <newick>;' line per unique topology
-            f.write("#NEXUS\n"
-                    "[This file contains the trees that were found during "
-                    "the MCMC\nsearch, sorted by posterior probability. "
-                    "\"p\" indicates the\nposterior probability of the "
-                    "tree whereas \"P\" indicates the\ncumulative "
-                    "posterior probability.]\n\n")
-            f.write("begin trees;\n   translate\n")
-            for i, name in enumerate(taxa):
-                sep = ";" if i == len(taxa) - 1 else ","
-                f.write(f"   {i + 1:>2} {name}{sep}\n")
-            tot = sum(ts.topo_counts.values())
-            cum = 0.0
-            for i, (topo, c) in enumerate(sorted(ts.topo_counts.items(),
-                                                 key=lambda kv: -kv[1])):
-                p = c / tot
-                cum += p
-                f.write(f"   tree tree_{i + 1} [p = {p:.3f}, "
-                        f"P = {cum:.3f}] = [&W {p:.6f}] "
-                        f"{ts.topology_newick(topo)};\n")
-            f.write("end;\n")
+        if calctreeprobs:
+            _write_trprobs(out_prefix, ts, taxa)
         # credible-set summary (reference src/sumpt.c:8678-8692)
         probs = sorted((c for c in ts.topo_counts.values()), reverse=True)
         tot = sum(probs)
@@ -330,3 +324,32 @@ def sumt(prefix: str, burninfrac: float = 0.25, log=print,
                 f"{k2} tree{'s' if k2 > 1 else ''}")
     return {"asdsf": asdsf, "consensus": con, "n_splits": len(chosen),
             "split_freqs": freq, "summary": ts}
+
+
+def _write_trprobs(out_prefix, ts, taxa):
+    """Topology credibility file (reference TreeProb, src/sumpt.c:8579);
+    skipped when sumt calctreeprobs=no."""
+    with open(f"{out_prefix}.trprobs", "w") as f:
+        # reference TreeProb output format (src/sumpt.c:8652-8671):
+        # header comment, translate table, one 'tree tree_<i> [p,P] =
+        # [&W p] <newick>;' line per unique topology
+        f.write("#NEXUS\n"
+                "[This file contains the trees that were found during "
+                "the MCMC\nsearch, sorted by posterior probability. "
+                "\"p\" indicates the\nposterior probability of the "
+                "tree whereas \"P\" indicates the\ncumulative "
+                "posterior probability.]\n\n")
+        f.write("begin trees;\n   translate\n")
+        for i, name in enumerate(taxa):
+            sep = ";" if i == len(taxa) - 1 else ","
+            f.write(f"   {i + 1:>2} {name}{sep}\n")
+        tot = sum(ts.topo_counts.values())
+        cum = 0.0
+        for i, (topo, c) in enumerate(sorted(ts.topo_counts.items(),
+                                             key=lambda kv: -kv[1])):
+            p = c / tot
+            cum += p
+            f.write(f"   tree tree_{i + 1} [p = {p:.3f}, "
+                    f"P = {cum:.3f}] = [&W {p:.6f}] "
+                    f"{ts.topology_newick(topo)};\n")
+        f.write("end;\n")

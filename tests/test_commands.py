@@ -71,3 +71,52 @@ def test_comparetree_outputs(run):
 def test_plot_ran(run):
     d, lines, it = run
     assert any("lnLike trace" in ln for ln in lines)
+
+
+def test_sumt_options_surface(run):
+    """sumt minpartfreq/conformat/calctreeprobs/outputname honored
+    (reference Sumt params, src/command.c); typo'd keys error."""
+    from mrbayes_tpu.cli import CommandError
+    d, lines, it = run
+    pfx = str(d / "out")
+    it.run_line(f"sumt filename={pfx} minpartfreq=0.9 conformat=simple "
+                f"calctreeprobs=no outputname={pfx}.alt")
+    assert os.path.exists(pfx + ".alt.con.tre")
+    assert not os.path.exists(pfx + ".alt.trprobs")
+    # simple conformat: no FigTree annotations in the consensus
+    con = open(pfx + ".alt.con.tre").read()
+    assert "&prob" not in con
+    # minpartfreq=0.9 prunes the .parts table vs the default
+    it.run_line(f"sumt filename={pfx} outputname={pfx}.full")
+    n_hi = len(open(pfx + ".alt.parts").readlines())
+    n_all = len(open(pfx + ".full.parts").readlines())
+    assert n_hi <= n_all
+    assert os.path.exists(pfx + ".full.trprobs")
+    with pytest.raises(CommandError):
+        it.run_line(f"sumt filename={pfx} minpartfreqq=0.2")
+    with pytest.raises(CommandError):
+        it.run_line(f"sumt filename={pfx} conformat=fancy")
+
+
+def test_sump_options_surface(run):
+    from mrbayes_tpu.cli import CommandError
+    d, lines, it = run
+    pfx = str(d / "out")
+    it.run_line(f"sump filename={pfx} hpd=no outputname={pfx}.alt "
+                f"nruns=1")
+    assert os.path.exists(pfx + ".alt.pstat")
+    with pytest.raises(CommandError):
+        it.run_line(f"sump filename={pfx} hppd=no")
+    with pytest.raises(CommandError):
+        it.run_line(f"plot parameter=LnL matchh=all")
+    with pytest.raises(CommandError):
+        it.run_line(f"comparetree filename1={pfx}.run1.t "
+                    f"filename2={pfx}.run2.t burnfrac=0.1")
+
+
+def test_informational_commands(run):
+    """Reference drive files may call these; they must not error."""
+    d, lines, it = run
+    for cmd in ("acknowledgments", "disclaimer", "showbeagle",
+                "showmcmctrees"):
+        it.run_line(cmd)
