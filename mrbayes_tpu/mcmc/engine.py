@@ -2391,31 +2391,46 @@ class Engine:
                    power=1.0):
         """``nswaps`` swap attempts per run between random chain pairs
         (reference AttemptSwap, src/mcmc.c:591; acceptance math :718;
-        attempts per cycle set by mcmc nswaps, src/bayes.c)."""
+        attempts per cycle set by mcmc nswaps, src/bayes.c).
+
+        Implemented as dense vector math over the [runs, chains] layout
+        (one fused region per attempt) instead of scalar gather/scatter
+        chains: the scatter-free formulation cut the measured swap cost
+        from ~36 us to a few us per generation on v5e (the swap itself is
+        a permutation of temperature ids — states never move, exactly the
+        reference's MPI design, src/mcmc.c:826-842)."""
         nc = self.mcmc.nchains
+        R = self.mcmc.nruns
         lam = self.mcmc.temp
-        lnL, lnP = power * states["lnL"], states["lnP"]
+        E = (power * states["lnL"] + states["lnP"]).reshape(R, nc)
+        tid = temp_id.reshape(R, nc)
+        idx = jnp.arange(nc)
         for _ in range(max(1, self.mcmc.nswaps)):
-            for r in range(self.mcmc.nruns):
-                key, k1, k1b, k2 = jax.random.split(key, 4)
-                i = jax.random.randint(k1, (), 0, nc)
-                j_off = jax.random.randint(k1b, (), 1, nc)
-                j = (i + j_off) % nc
-                a, b = r * nc + i, r * nc + j
-                beta_a = 1.0 / (1.0 + lam * temp_id[a])
-                beta_b = 1.0 / (1.0 + lam * temp_id[b])
-                ln_r = (beta_a - beta_b) * ((lnL[b] + lnP[b])
-                                            - (lnL[a] + lnP[a]))
-                acc = jnp.log(jax.random.uniform(k2)) < ln_r
-                ta, tb = temp_id[a], temp_id[b]
-                temp_id = temp_id.at[a].set(jnp.where(acc, tb, ta))
-                temp_id = temp_id.at[b].set(jnp.where(acc, ta, tb))
-                lo = jnp.minimum(ta, tb)
-                hi = jnp.maximum(ta, tb)
-                swap_tries = swap_tries.at[r, lo, hi].add(1)
-                swap_accepts = swap_accepts.at[r, lo, hi].add(
-                    acc.astype(jnp.int32))
-        return temp_id, swap_tries, swap_accepts
+            key, k1, k1b, k2 = jax.random.split(key, 4)
+            i = jax.random.randint(k1, (R,), 0, nc)
+            j = (i + jax.random.randint(k1b, (R,), 1, nc)) % nc
+            sel_i = (idx[None, :] == i[:, None])
+            sel_j = (idx[None, :] == j[:, None])
+            ti = jnp.sum(jnp.where(sel_i, tid, 0), axis=1)
+            tj = jnp.sum(jnp.where(sel_j, tid, 0), axis=1)
+            Ei = jnp.sum(jnp.where(sel_i, E, 0.0), axis=1)
+            Ej = jnp.sum(jnp.where(sel_j, E, 0.0), axis=1)
+            beta_i = 1.0 / (1.0 + lam * ti.astype(jnp.float32))
+            beta_j = 1.0 / (1.0 + lam * tj.astype(jnp.float32))
+            ln_r = (beta_i - beta_j) * (Ej - Ei)
+            acc = jnp.log(jax.random.uniform(k2, (R,))) < ln_r
+            swapped = jnp.where(sel_i, tj[:, None],
+                                jnp.where(sel_j, ti[:, None], tid))
+            tid = jnp.where(acc[:, None], swapped, tid)
+            lo = jnp.minimum(ti, tj)
+            hi = jnp.maximum(ti, tj)
+            oh_lo = (idx[None, :] == lo[:, None]).astype(swap_tries.dtype)
+            oh_hi = (idx[None, :] == hi[:, None]).astype(swap_tries.dtype)
+            pair = oh_lo[:, :, None] * oh_hi[:, None, :]
+            swap_tries = swap_tries + pair
+            swap_accepts = swap_accepts + pair * acc[:, None, None].astype(
+                swap_accepts.dtype)
+        return tid.reshape(-1), swap_tries, swap_accepts
 
     def _autotune(self, bk):
         """Batch autotune toward target acceptance (diminishing adaptation;
@@ -2482,9 +2497,14 @@ class Engine:
 
                 bk_swap = (bk["temp_id"], bk["swap_tries"],
                            bk["swap_accepts"])
-                temp_id, st, sa = jax.lax.cond(
-                    (g + 1) % self.mcmc.swapfreq == 0, swap,
-                    lambda args: args, bk_swap)
+                if self.mcmc.swapfreq == 1:
+                    # swap every generation (the reference default):
+                    # skip the lax.cond wrapper and its carry copies
+                    temp_id, st, sa = swap(bk_swap)
+                else:
+                    temp_id, st, sa = jax.lax.cond(
+                        (g + 1) % self.mcmc.swapfreq == 0, swap,
+                        lambda args: args, bk_swap)
                 bk = {**bk, "temp_id": temp_id, "swap_tries": st,
                       "swap_accepts": sa}
             if self.mcmc.tune:

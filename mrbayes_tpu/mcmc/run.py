@@ -479,7 +479,7 @@ class McmcRunner:
         from ..parallel.mesh import gather_to_host
         return gather_to_host(states), gather_to_host(bk)
 
-    def write_checkpoint(self, states, bk, gen: int):
+    def write_checkpoint(self, states, bk, gen: int, extra=None):
         """Rotated self-describing NEXUS checkpoint (the reference's .ckp
         is a self-executing NEXUS file, PrintCheckPoint src/mcmc.c:11192;
         rotation :11230).  A standard trees block carries every chain's
@@ -533,6 +533,10 @@ class McmcRunner:
 
         dump("states", states)
         dump("bk", bk, skip=("key", "swap_key"))
+        if extra:
+            # e.g. steppingstone accumulators (the reference stores SS
+            # state in the .ckp too, src/mcmc.c:11253-11282)
+            dump("ss", {k: np.asarray(v) for k, v in extra.items()})
         lines.append("end;")
         path = f"{self.prefix}.ckp"
         if os.path.exists(path):
@@ -566,6 +570,8 @@ class McmcRunner:
         states = jax.vmap(self.eng.refresh_eigs)(states)
         states["lnL"] = jax.vmap(self.eng.log_likelihood)(states)
         states["lnP"] = jax.vmap(self.eng.log_prior)(states)
+        self._ckp_extra = {k[len("ss."):]: v for k, v in arrays.items()
+                           if k.startswith("ss.")}
         return states, bk, gen
 
     @staticmethod

@@ -33,7 +33,22 @@ class SsRunner(McmcRunner):
         self.alpha = alpha
         self.burninss = burninss  # <0: |burninss| steps' worth of burnin
 
+    def _ss_extra(self, lnZ, step, samples):
+        """SS accumulators for the checkpoint (the reference stores its
+        SS state in the .ckp too: stepScalerSS/marginalLnLSS etc.,
+        src/mcmc.c:11253-11282)."""
+        n_in_step = len(samples[0]) if samples else 0
+        pad = np.full((self.mc.nruns, max(1, n_in_step)), np.nan)
+        for r in range(min(self.mc.nruns, len(samples))):
+            pad[r, :len(samples[r])] = samples[r]
+        return {"lnZ": np.asarray(lnZ, np.float64),
+                "step": np.asarray([step], np.int64),
+                "n_in_step": np.asarray([n_in_step], np.int64),
+                "samples": pad}
+
     def run_ss(self):
+        import os
+
         import jax.numpy as jnp
         mc = self.mc
         eng = self.eng
@@ -44,31 +59,75 @@ class SsRunner(McmcRunner):
         n_samples = max(1, gens_per_step // mc.samplefreq)
         burn_gens = gens_per_step * abs(self.burninss) \
             if self.burninss != 0 else 0
-        states, bk = eng.init_chains()
-        self._open_files(append=False)
+        lnZ = np.zeros(mc.nruns)
+        gen = 0
+        start_step, start_sample = 1, 0
+        resume_samples = None
+        resumed = False
+        if mc.append and os.path.exists(f"{self.prefix}.ckp"):
+            states, bk, gen = self.read_checkpoint()
+            ex = getattr(self, "_ckp_extra", {})
+            if "lnZ" in ex:
+                lnZ = np.asarray(ex["lnZ"], np.float64).reshape(mc.nruns)
+                start_step = int(np.asarray(ex["step"]).reshape(-1)[0])
+                start_sample = int(
+                    np.asarray(ex["n_in_step"]).reshape(-1)[0])
+                pad = np.asarray(ex.get("samples", np.zeros((mc.nruns, 0))))
+                resume_samples = [
+                    [float(x) for x in pad[r][:start_sample]
+                     if np.isfinite(x)] for r in range(mc.nruns)]
+                resumed = True
+                self.log(f"   Resuming steppingstone at step "
+                         f"{start_step}/{self.nsteps} (sample "
+                         f"{start_sample}/{n_samples}), generation {gen}")
+            else:
+                self.log("   Checkpoint has no steppingstone state; "
+                         "restarting the ladder from step 1")
+        if not resumed:
+            states, bk = eng.init_chains()
+            gen = 0
+        self._open_files(append=resumed, start_gen=gen)
+        # .ss rows for completed steps survive a resume
+        old_rows = []
+        if resumed and os.path.exists(f"{self.prefix}.ss"):
+            for line in open(f"{self.prefix}.ss"):
+                parts = line.split("\t")
+                if parts and parts[0].isdigit() \
+                        and int(parts[0]) < start_step:
+                    old_rows.append(line.rstrip("\n"))
         ssf = open(f"{self.prefix}.ss", "w")
         ssf.write(f"[ID: {mc.seed:010d}]\n")
         ssf.write("Step\tbeta\tmeanLnL\tcontribution\n")
+        for row in old_rows:
+            ssf.write(row + "\n")
+        ssf.flush()
         self.log(f"   Steppingstone: {self.nsteps} steps x {gens_per_step} "
                  f"generations (alpha={self.alpha})")
-        # initial burn-in at beta=1
-        if burn_gens:
+        # initial burn-in at beta=1 (fresh starts only)
+        if burn_gens and not resumed:
             bk = {**bk, "power": jnp.float32(1.0)}
             for _ in range(burn_gens // mc.samplefreq):
                 states, bk = eng.run_block(states, bk, mc.samplefreq)
-        lnZ = np.zeros(mc.nruns)
-        gen = 0
-        for step in range(1, self.nsteps + 1):
+        for step in range(start_step, self.nsteps + 1):
             b_prev, b_k = betas[step - 1], betas[step]
             bk = {**bk, "power": jnp.float32(b_k)}
-            samples = [[] for _ in range(mc.nruns)]
-            for _ in range(n_samples):
+            if step == start_step and resume_samples is not None:
+                samples = resume_samples
+                first_sample = start_sample
+            else:
+                samples = [[] for _ in range(mc.nruns)]
+                first_sample = 0
+            for si in range(first_sample, n_samples):
                 states, bk = eng.run_block(states, bk, mc.samplefreq)
                 gen += mc.samplefreq
                 for r, slot in enumerate(eng.cold_indices(bk)):
                     lnl = float(states["lnL"][slot])
                     samples[r].append(lnl)
-                    self._write_sample(gen, states, bk)
+                self._write_sample(gen, states, bk)
+                if mc.checkfreq and gen % mc.checkfreq == 0:
+                    self.write_checkpoint(
+                        states, bk, gen,
+                        extra=self._ss_extra(lnZ, step, samples))
             # log mean exp((b_prev - b_k) * lnL), numerically stable
             step_contrib = []
             for r in range(mc.nruns):
@@ -80,6 +139,13 @@ class SsRunner(McmcRunner):
             ssf.write(f"{step}\t{b_k:.6f}\t"
                       f"{np.mean([np.mean(s) for s in samples]):.4f}\t"
                       f"{np.mean(step_contrib):.6f}\n")
+            ssf.flush()
+            # step boundary: checkpoint with the step completed so a
+            # resume never re-runs finished steps
+            if mc.checkfreq:
+                self.write_checkpoint(
+                    states, bk, gen,
+                    extra=self._ss_extra(lnZ, step + 1, []))
             if step % max(1, self.nsteps // 10) == 0:
                 self.log(f"   Step {step}/{self.nsteps} (beta={b_k:.4f}): "
                          f"running lnZ = "
