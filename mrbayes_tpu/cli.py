@@ -617,7 +617,8 @@ class Interpreter:
     LSET_KEYS = ("applyto", "nst", "rates", "ngammacat", "nucmodel", "code",
                  "covarion", "coding", "omegavar", "parsmodel", "nbetacat",
                  "nmixtcat", "usegibbs", "gibbsfreq",
-                 "numm10betacats", "numm10gammacats")
+                 "numm10betacats", "numm10gammacats",
+                 "statefreqmodel", "statefrmod")
 
     def do_lset(self, args, base_dir):
         pairs = self._kv_pairs(args)
@@ -666,12 +667,19 @@ class Interpreter:
                     s.nm10betacat = int(v)
                 elif key == "numm10gammacats":
                     s.nm10gammacat = int(v)
+                elif key in ("statefreqmodel", "statefrmod"):
+                    if v not in ("stationary", "directional", "mixed"):
+                        raise CommandError(
+                            "statefreqmodel must be "
+                            "stationary|directional|mixed")
+                    s.statefreqmodel = v
 
     PRSET_KEYS = ("applyto", "statefreqpr", "revmatpr", "tratiopr",
                   "shapepr", "pinvarpr", "ratecorrpr", "covswitchpr",
                   "omegapr", "ny98omega1pr", "ny98omega3pr",
                   "codoncatfreqpr", "m3omegapr", "m10betapr", "m10gammapr",
-                  "ratepr", "aamodelpr", "aarevmatpr",
+                  "ratepr", "generatepr", "aamodelpr", "aarevmatpr",
+                  "rootfreqpr",
                   "brlenspr", "topologypr", "clockvarpr", "clockratepr",
                   "treeagepr", "igrvarpr", "ilnvarpr", "tk02varpr",
                   "wnvarpr", "mixedvarpr", "cppratepr", "cppmultdevpr",
@@ -720,6 +728,11 @@ class Interpreter:
                 elif key == "ratepr":
                     s.ratepr = ("variable" if prior.kind.startswith("var")
                                 or prior.kind == "dirichlet" else "fixed")
+                elif key == "generatepr":
+                    s.generatepr = ("variable"
+                                    if prior.kind.startswith("var")
+                                    or prior.kind == "dirichlet"
+                                    else "fixed")
                 elif key == "symdirihyperpr":
                     # fixed(infinity) = equal frequencies (the default);
                     # fixed(b)/uniform(a,b)/exponential(r) activate the
@@ -744,6 +757,8 @@ class Interpreter:
                     s.aamodelpr = prior
                 elif key == "aarevmatpr":
                     s.aarevmatpr = prior
+                elif key == "rootfreqpr":
+                    s.rootfreqpr = prior
                 elif key == "brlenspr":
                     self._set_brlenspr(val)
                 elif key == "topologypr":

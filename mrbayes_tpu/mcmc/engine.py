@@ -72,6 +72,9 @@ class DivCfg:
     aamodel_group: int = -1       # aamodelpr=mixed (rjMCMC over aa models)
     aarevmat_group: int = -1      # aamodel=gtr sampled 190 exchangeabilities
     fixed_aarevmat: np.ndarray | None = None  # aarevmatpr=fixed(...)
+    rootpi_group: int = -1        # statefreqmodel=directional|mixed
+    fixed_rootpi: np.ndarray | None = None    # rootfreqpr=fixed(...)
+    dirpi_mix: bool = False       # statefreqmodel=mixed (RJ indicator)
     covswitch_group: int = -1     # covarion=yes, sampled switch rates
     fixed_covswitch: np.ndarray | None = None  # covswitchpr=fixed(s01,s10)
     doublet: bool = False         # nucmodel=doublet (16-state stem pairs)
@@ -466,12 +469,39 @@ class Engine:
                 continue
             if is_prot:
                 cfg.pi_field = "pi20"
+            if s.statefreqmodel != "stationary" \
+                    and div.dtype is not DataType.RESTRICTION:
+                # exact reference parity: "non-stationary models only
+                # implemented for data type RESTRICTION"
+                # (src/model.c:3973-3977)
+                raise ValueError(
+                    "statefreqmodel=directional|mixed is only available "
+                    "for restriction data (reference parity)")
             if div.dtype is DataType.RESTRICTION:
                 cfg.pi_field = "pi2"
                 if s.statefreqpr.kind == "dirichlet":
                     cfg.pi_group = group_of("pi2", d, repr(s.statefreqpr))
                 else:
                     cfg.fixed_pi = np.full(2, 0.5)
+                if s.statefreqmodel != "stationary":
+                    # directional/mixed root frequencies (DIRPI paramIds,
+                    # src/model.c:11756-11817; root-weighted likelihood
+                    # src/likelihood.c:7155-7165)
+                    if self.tree_settings.clock:
+                        raise ValueError(
+                            "statefreqmodel=directional is a rooted "
+                            "NON-clock model; unset brlenspr=clock")
+                    cfg.dirpi_mix = s.statefreqmodel == "mixed"
+                    if s.rootfreqpr.kind == "fixed":
+                        if cfg.dirpi_mix:
+                            raise ValueError(
+                                "statefreqmodel=mixed needs a sampled "
+                                "rootfreqpr (dirichlet)")
+                        cfg.fixed_rootpi = np.asarray(
+                            s.rootfreqpr.params, np.float64)
+                    else:
+                        cfg.rootpi_group = group_of(
+                            "rootpi2", d, repr(s.rootfreqpr))
             if is_prot and s.aamodelpr.kind == "mixed":
                 # rjMCMC over the 10 empirical aa models + poisson
                 # (reference Move_Aamodel src/proposal.c:66)
@@ -592,7 +622,20 @@ class Engine:
             self.div_cfg.append(cfg)
 
         self.n_groups = {p: len(v) for p, v in counters.items()}
-        self.ratemult_on = any(s.ratepr == "variable" for s in div_settings)
+        # directional models force a rooted non-clock tree
+        # (TOPOLOGY_RNCL_*, src/model.c:20126)
+        self.rooted_nonclock = any(
+            c.rootpi_group >= 0 or c.fixed_rootpi is not None
+            or c.dirpi_mix for c in self.div_cfg)
+        # BEST generatepr=variable: per-gene rate multipliers share the
+        # ratemult machinery (each gene is one division here; the
+        # reference's Move_GeneRate_Dir is the same site-count-weighted
+        # Dirichlet move, src/proposal.c:5537) but print as g_m{i}
+        self.generate_on = self.best and any(
+            s.generatepr == "variable" for s in div_settings)
+        self.ratemult_on = (any(s.ratepr == "variable"
+                                for s in div_settings)
+                            or self.generate_on)
         self.n_div = n_div
         # priors per group: use the first division that defined the group
         self.group_priors: dict[tuple, Prior] = {}
@@ -795,12 +838,121 @@ class Engine:
                 # covarion: an observed base is compatible with both the
                 # on- and off-copy of its state
                 tp = np.concatenate([tp, tp], axis=-1)
+            wts = np.asarray(d.weights, np.float32).copy()
+            cmask_np = constant_state_mask(d.patterns, d.n_states)
+            if d.dtype in (DataType.RESTRICTION, DataType.STANDARD) \
+                    and cfg.settings.coding not in ("", "all"):
+                # the reference EXCLUDES characters incompatible with the
+                # coding bias with a warning (CheckCharCodingType +
+                # AddDummyChars filter, src/model.c:314-400): possibly-
+                # constant patterns at a disallowed state.  Zeroing the
+                # pattern weight reproduces exclusion exactly — the
+                # ascertainment multiplier is the weight sum.
+                cd = cfg.settings.coding
+                if cd == "variable":
+                    bad = cmask_np.any(axis=1)
+                elif cd == "noabsencesites":
+                    bad = cmask_np[:, 0] > 0
+                elif cd == "nopresencesites":
+                    bad = cmask_np[:, 1] > 0
+                else:
+                    bad = np.zeros(len(wts), bool)
+                wts[bad] = 0.0
             self.tip_partials.append(jnp.asarray(tp))
-            self.weights.append(jnp.asarray(d.weights, jnp.float32))
-            self.const_masks.append(
-                jnp.asarray(constant_state_mask(d.patterns, d.n_states)))
+            self.weights.append(jnp.asarray(wts))
+            self.const_masks.append(jnp.asarray(cmask_np))
         w = np.array([float(c.div.weights.sum()) for c in self.div_cfg])
         self.div_char_frac = w / w.sum()   # ratemult weighting
+        self._build_best_batched()
+        self._build_pruners_and_pars()
+
+    def _build_best_batched(self):
+        """BEST fast path: when every gene division runs the same plain
+        nucleotide model shape, stack the per-gene tip tensors (padded on
+        the pattern axis, pad weight 0) so all G gene likelihoods run as
+        ONE vmapped dispatch chain instead of G separate ones — tiny
+        gene trees are dispatch-bound (finch: 4 loci x 7 nodes)."""
+        self._best_batched = None
+        if not self.best or self.n_div < 2:
+            return
+        cfgs = self.div_cfg
+        ok = all(
+            c.div.dtype in (DataType.DNA, DataType.RNA)
+            and c.codon is None and not c.doublet and not c.parsimony
+            and c.covswitch_group < 0 and c.fixed_covswitch is None
+            and c.ratecorr_group < 0 and c.mixt_group < 0
+            and c.settings.coding in ("", "all")
+            and c.div.n_states == cfgs[0].div.n_states
+            and c.n_cats == cfgs[0].n_cats
+            and c.settings.rates == cfgs[0].settings.rates
+            and (c.pinvar_group >= 0) == (cfgs[0].pinvar_group >= 0)
+            for c in cfgs)
+        if not ok:
+            return
+        Pmax = max(tp.shape[1] for tp in self.tip_partials)
+        tips, wts, cms = [], [], []
+        for i in range(self.n_div):
+            tp = np.asarray(self.tip_partials[i])
+            w = np.asarray(self.weights[i])
+            pad = Pmax - tp.shape[1]
+            tips.append(np.pad(tp, ((0, 0), (0, pad), (0, 0)),
+                               constant_values=1.0))
+            wts.append(np.pad(w, (0, pad)))
+            cm = np.asarray(self.const_masks[i])
+            cms.append(np.pad(cm, ((0, pad), (0, 0))))
+        self._best_batched = (jnp.asarray(np.stack(tips)),
+                              jnp.asarray(np.stack(wts)),
+                              jnp.asarray(np.stack(cms)))
+
+    def _best_lnl_batched(self, state):
+        """All G gene likelihoods in one vmapped pass (lax.scan pruner;
+        gene trees are far too small for the Pallas grid to pay)."""
+        from ..ops.pruning import division_loglik
+        tips, wts, cmasks = self._best_batched
+        has_pinv = self.div_cfg[0].pinvar_group >= 0
+        par = state["parent"]
+        age = state["age"]
+        blen = jnp.where(par >= 0,
+                         jnp.take_along_axis(
+                             age, jnp.maximum(par, 0), axis=1) - age, 0.0)
+        lams, Us, Vs, pis, rates, pinvs, mults = [], [], [], [], [], [], []
+        for i, cfg in enumerate(self.div_cfg):
+            lam, U, V = self._division_eig_cached(state, i)
+            lams.append(lam)
+            Us.append(U)
+            Vs.append(V)
+            pis.append(state[cfg.pi_field][cfg.pi_group]
+                       if cfg.pi_group >= 0
+                       else jnp.asarray(cfg.fixed_pi, jnp.float32))
+            s = cfg.settings
+            if s.rates in ("gamma", "invgamma"):
+                rates.append(self._gamma_tables[cfg.n_cats](
+                    state["shape"][cfg.shape_group]))
+            elif s.rates == "lnorm":
+                rates.append(discrete_lognormal(
+                    state["shape"][cfg.shape_group], cfg.n_cats))
+            else:
+                rates.append(jnp.ones((1,)))
+            pinvs.append(state["pinvar"][cfg.pinvar_group]
+                         if cfg.pinvar_group >= 0 else jnp.float32(0.0))
+            mults.append(state["ratemult"][i] / self.div_char_frac[i]
+                         if self.ratemult_on else jnp.float32(1.0))
+
+        def one(left, right, parent, bl, tp, w, lam, U, V, pi, r, pv, m,
+                cm):
+            return division_loglik(
+                left, right, parent, bl, tp, w, lam, U, V, pi, r, pv,
+                cm if has_pinv else None, self.n_tips,
+                rate_mult=m, pruner=None)
+
+        lnl = jax.vmap(one)(
+            state["left"], state["right"], par, blen, tips, wts,
+            jnp.stack(lams), jnp.stack(Us), jnp.stack(Vs),
+            jnp.stack(pis), jnp.stack(rates), jnp.stack(pinvs),
+            jnp.stack(mults), cmasks)
+        return jnp.sum(lnl)
+
+    def _build_pruners_and_pars(self):
         # fused Pallas pruning wiring per division (used on TPU backends;
         # None → lax.scan fallback). K must match the rate-category count
         # each likelihood path passes at call time.
@@ -1106,6 +1258,34 @@ class Engine:
             else:
                 def wrap(base):
                     return partial(base, n_tips=n)
+            if self.rooted_nonclock:
+                # directional models: rooted non-clock trees; rooted NNI
+                # + rooted SPR (root placement mixes via SPR onto the
+                # root's child edges) + blen moves over ALL non-root
+                # branches (reference applies its NNI/ExtSPR/ExtTBR to
+                # TOPOLOGY_RNCL_*, src/model.c:21868,22023,22258)
+                if T > 1:
+                    raise ValueError("unlinked topologies with a "
+                                     "directional model not supported")
+                mk.append(MoveSpec("rooted_nni", wrap(M.move_rooted_nni),
+                                   8.0, 0.0, tunable=False))
+                mk.append(MoveSpec("rooted_spr", wrap(M.move_rooted_spr),
+                                   10.0, 0.0, tunable=False))
+                mk.append(MoveSpec(
+                    "blen_mult",
+                    partial(M.move_blen_multiplier, n_tips=n, rooted=True),
+                    15.0, 2.0 * np.log(1.6), 0.25, 1, 1e-3, 20.0))
+                mk.append(MoveSpec(
+                    "node_slider",
+                    partial(M.move_node_slider, n_tips=n, rooted=True),
+                    5.0, 0.0, tunable=False))
+                mk.append(MoveSpec(
+                    "treelen_mult",
+                    partial(M.move_treelen_multiplier, n_tips=n,
+                            rooted=True),
+                    2.0, 2.0 * np.log(1.6), 0.25, 1, 1e-3, 10.0))
+                self._finish_moves(mk)
+                return
             mk.append(MoveSpec("nni", wrap(M.move_nni), 5.0,
                                0.0, tunable=False))
             mk.append(MoveSpec("spr", wrap(M.move_spr), 5.0,
@@ -1188,6 +1368,105 @@ class Engine:
             mk.append(MoveSpec("pi2_dir",
                                partial(M.make_simplex_move("pi2"), n_tips=n),
                                1.5, 100.0, 0.25, -1, 1.0, 1e5))
+        if self.n_groups.get("rootpi2"):
+            # root-frequency moves (reference Move_StatefreqsRoot /
+            # Move_StatefreqsRoot_Slider, registered for DIRPI_* at 0.5
+            # each, src/model.c:23111-23152) and the stationary <->
+            # directional RJ jump for statefreqmodel=mixed
+            # (Move_Statefreqs_SplitMerge, src/model.c:23153-23170,
+            # src/proposal.c:16528)
+            from .priors import dirichlet_lpdf as _dlp
+            pairs = []
+            seen = set()
+            for cfg in self.div_cfg:
+                if cfg.rootpi_group >= 0 and cfg.rootpi_group not in seen:
+                    seen.add(cfg.rootpi_group)
+                    pairs.append((cfg.pi_group, cfg.rootpi_group,
+                                  cfg.dirpi_mix))
+            mix_on = any(m for _, _, m in pairs)
+            gids = jnp.asarray([g for _, g, _ in pairs])
+            mixed_flags = jnp.asarray([1 if m else 0 for _, _, m in pairs])
+
+            def mv_rootpi_dir(key, state, tuning, n_tips=n):
+                k1, k2 = jax.random.split(key)
+                i = jax.random.randint(k1, (), 0, len(pairs))
+                g = gids[i]
+                ok = jnp.where(mixed_flags[i] > 0,
+                               state.get("dirpi_on",
+                                         jnp.ones((1,), jnp.int32))[g] > 0,
+                               True)
+                new, lnH = M._dirichlet_proposal(
+                    k2, state["rootpi2"][g], tuning)
+                st = {**state,
+                      "rootpi2": state["rootpi2"].at[g].set(new)}
+                return st, jnp.where(ok, lnH, NEG_INF)
+
+            def mv_rootpi_slider(key, state, tuning, n_tips=n):
+                k1, k2 = jax.random.split(key)
+                i = jax.random.randint(k1, (), 0, len(pairs))
+                g = gids[i]
+                ok = jnp.where(mixed_flags[i] > 0,
+                               state.get("dirpi_on",
+                                         jnp.ones((1,), jnp.int32))[g] > 0,
+                               True)
+                x = state["rootpi2"][g, 0]
+                delta = (jax.random.uniform(k2) - 0.5) * tuning
+                nx = x + delta            # reflect into (0, 1)
+                nx = jnp.abs(nx)
+                nx = jnp.where(nx > 1.0, 2.0 - nx, nx)
+                new = jnp.stack([nx, 1.0 - nx])
+                st = {**state,
+                      "rootpi2": state["rootpi2"].at[g].set(new)}
+                return st, jnp.where(ok, 0.0, NEG_INF)
+
+            mk.append(MoveSpec("rootpi_dir", mv_rootpi_dir,
+                               0.5, 200.0, 0.25, -1, 1.0, 1e5))
+            mk.append(MoveSpec("rootpi_slider", mv_rootpi_slider,
+                               0.5, 0.15, 0.25, 1, 1e-5, 1.0))
+            if mix_on:
+                pi_gids = jnp.asarray([p for p, _, _ in pairs])
+
+                def _lndir(alpha, x):
+                    return _dlp(x, jnp.maximum(alpha, 1e-4))
+
+                def mv_dirpi_switch(key, state, tuning, n_tips=n):
+                    k1, k2, k3 = jax.random.split(key, 3)
+                    i = jax.random.randint(k1, (), 0, len(pairs))
+                    gp, gr = pi_gids[i], gids[i]
+                    on = state["dirpi_on"][gr] > 0
+                    a = tuning
+                    old_pi = state["pi2"][gp]
+                    old_root = state["rootpi2"][gr]
+                    # split (off -> on): draw new stationary + root from
+                    # Dir(a*old_pi); merge (on -> off): new stationary
+                    # from Dir(a*(old_pi+old_root)/2)
+                    gsplit_pi = jax.random.gamma(k2, a * old_pi) + 1e-10
+                    new_pi_s = gsplit_pi / jnp.sum(gsplit_pi)
+                    gsplit_rt = jax.random.gamma(k3, a * old_pi) + 1e-10
+                    new_root_s = gsplit_rt / jnp.sum(gsplit_rt)
+                    mid = a * (old_pi + old_root) / 2.0
+                    gmerge = jax.random.gamma(k2, mid) + 1e-10
+                    new_pi_m = gmerge / jnp.sum(gmerge)
+                    lnH_split = (_lndir(a * (new_pi_s + new_root_s) / 2.0,
+                                        old_pi)
+                                 - _lndir(a * old_pi, new_pi_s)
+                                 - _lndir(a * old_pi, new_root_s))
+                    lnH_merge = (_lndir(a * new_pi_m, old_pi)
+                                 + _lndir(a * new_pi_m, old_root)
+                                 - _lndir(mid, new_pi_m))
+                    new_pi = jnp.where(on, new_pi_m, new_pi_s)
+                    new_root = jnp.where(on, old_root, new_root_s)
+                    lnH = jnp.where(on, lnH_merge, lnH_split)
+                    st = {**state,
+                          "pi2": state["pi2"].at[gp].set(new_pi),
+                          "rootpi2":
+                          state["rootpi2"].at[gr].set(new_root),
+                          "dirpi_on": state["dirpi_on"].at[gr].set(
+                              jnp.where(on, 0, 1))}
+                    return st, lnH
+
+                mk.append(MoveSpec("dirpi_switch", mv_dirpi_switch,
+                                   0.5, 200.0, 0.25, -1, 1.0, 1e4))
         if self.n_groups.get("pi61"):
             mk.append(MoveSpec("pi61_dir",
                                partial(M.make_simplex_move("pi61"),
@@ -1378,6 +1657,7 @@ class Engine:
         # normalized jointly across classes: changing the class
         # frequencies rescales every class Q (src/likelihood.c:10702)
         q_moves = {"pi_dir", "pi20_dir", "pi2_dir", "pi61_dir", "pi16_dir",
+                   "dirpi_switch",
                    "omega_mult", "omega1_slider", "omega3_mult",
                    "m3omega_slider", "aamodel_jump", "revmat_dir",
                    "aarevmat_dir",
@@ -1543,12 +1823,19 @@ class Engine:
                 return random_unrooted(self.n_tips, rng, mean_blen=0.1)
 
             def arrays(t):
+                blen = np.clip(t.blen, 0.0, M.BRLEN_MAX).astype(np.float32)
+                if self.rooted_nonclock and blen[0] == 0.0:
+                    # rooted non-clock start: the root begins on tip 0's
+                    # pendant edge — split the basal branch so both root
+                    # children carry real lengths
+                    basal = int(t.left[2 * self.n_tips - 2])
+                    blen[0] = blen[basal] / 2.0
+                    blen[basal] = blen[basal] / 2.0
                 return {
                     "left": jnp.asarray(t.left),
                     "right": jnp.asarray(t.right),
                     "parent": jnp.asarray(t.parent),
-                    "blen": jnp.asarray(np.clip(t.blen, 0.0, M.BRLEN_MAX)
-                                        .astype(np.float32)),
+                    "blen": jnp.asarray(blen),
                 }
 
             if self.n_trees > 1:
@@ -1569,6 +1856,13 @@ class Engine:
             st["pi20"] = jnp.full((self.n_groups["pi20"], 20), 0.05)
         if self.n_groups.get("pi2"):
             st["pi2"] = jnp.full((self.n_groups["pi2"], 2), 0.5)
+        if self.n_groups.get("rootpi2"):
+            st["rootpi2"] = jnp.full((self.n_groups["rootpi2"], 2), 0.5)
+            if any(c.dirpi_mix for c in self.div_cfg):
+                # mixed starts in the directional state (reference .p
+                # gen-0 prints statefrmod=1 with rootpi sampled)
+                st["dirpi_on"] = jnp.ones(
+                    (self.n_groups["rootpi2"],), jnp.int32)
         if self.n_groups.get("pi61"):
             n61 = next(c.codon.n_states for c in self.div_cfg
                        if c.codon is not None)
@@ -1815,6 +2109,8 @@ class Engine:
         if self.best:
             # BEST: each division has its own strict-clock gene tree
             # (reference src/best.c; likelihood same machinery per gene)
+            if self._best_batched is not None:
+                return self._best_lnl_batched(state)
             total = jnp.float32(0.0)
             for i in range(self.n_div):
                 par = state["parent"][i]
@@ -1871,6 +2167,19 @@ class Engine:
             pi = pi_stack[state["aamodel_idx"][cfg.aamodel_group]]
         elif cfg.div.dtype is DataType.STANDARD:
             pi = jnp.full((cfg.div.n_states,), 1.0 / cfg.div.n_states)
+        if cfg.rootpi_group >= 0 or cfg.fixed_rootpi is not None:
+            # directional model: the ROOT reduction (and the
+            # ascertainment dummy sum) weight with the root frequencies;
+            # Q/tiprobs stay built from the stationary frequencies
+            # (reference Likelihood_Res, src/likelihood.c:7155-7165)
+            rpi = (state["rootpi2"][cfg.rootpi_group]
+                   if cfg.rootpi_group >= 0
+                   else jnp.asarray(cfg.fixed_rootpi, jnp.float32))
+            if cfg.dirpi_mix:
+                on = state["dirpi_on"][cfg.rootpi_group] > 0
+                pi = jnp.where(on, rpi, pi)
+            else:
+                pi = rpi
         coding = {"all": "all", "variable": "variable",
                   "noabsencesites": "noabsence",
                   "nopresencesites": "nopresence"}.get(s.coding, "all")
@@ -2119,10 +2428,11 @@ class Engine:
         if self.tree_settings.clock:
             return self._log_prior_clock(state)
         lp = jnp.float32(0.0)
-        # branch lengths
+        # branch lengths (rooted non-clock: tip 0's branch is real)
         mask = np.ones(self.n_nodes, bool)
         mask[self.n_nodes - 1] = False
-        mask[0] = False
+        if not self.rooted_nonclock:
+            mask[0] = False
         mask_j = jnp.asarray(mask)
         bp = self.tree_settings.brlenspr
 
@@ -2170,6 +2480,24 @@ class Engine:
                     else jnp.float32(cfg.fixed_symbeta))
             x = state[cfg.sympi_field][cfg.sympi_group]
             lp = lp + dirichlet_lpdf(x, jnp.full(x.shape, beta))
+        # directional root frequencies: Dirichlet prior, gated on the RJ
+        # indicator for statefreqmodel=mixed (the stationary state has no
+        # root-frequency dimension — reference NOT_APPLICABLE sentinel,
+        # Move_Statefreqs_SplitMerge prior terms, src/proposal.c:16646)
+        seen_rootpi = set()
+        for cfg in self.div_cfg:
+            g = cfg.rootpi_group
+            if g < 0 or g in seen_rootpi:
+                continue
+            seen_rootpi.add(g)
+            pr = cfg.settings.rootfreqpr
+            ps = tuple(float(x) for x in (pr.params or (1.0,)))
+            alpha = jnp.asarray(ps if len(ps) == 2 else (ps[0], ps[0]))
+            term = dirichlet_lpdf(state["rootpi2"][g], alpha)
+            if cfg.dirpi_mix:
+                on = state["dirpi_on"][g] > 0
+                term = jnp.where(on, term, 0.0)
+            lp = lp + term
         for (param, gid), pr in self.group_priors.items():
             if param == "revmat" and gid in self._mixed_rev:
                 from .mixed_gtr import ln_prior_mixed
@@ -2235,12 +2563,14 @@ class Engine:
         pf = B.ploidy_factor(ts.ploidy)
         theta = pf * (state["popsize"] if ts.popvarpr == "variable"
                       else jnp.broadcast_to(state["popsize"][0], (M,)))
-        lp = jnp.float32(0.0)
-        for g in range(self.n_div):
-            lp = lp + B.msc_gene_log_prior(
-                state["parent"][g], state["age"][g], self.tip_species,
-                state["s_parent"], state["s_age"], theta,
-                self.n_tips, S)
+        # one vmapped MSC density over the gene axis (the per-gene python
+        # loop cost G separate dispatch chains per generation; finch has
+        # 4 loci and 7-node trees, so dispatch dominated)
+        lp = jnp.sum(jax.vmap(
+            lambda par, age: B.msc_gene_log_prior(
+                par, age, self.tip_species, state["s_parent"],
+                state["s_age"], theta, self.n_tips, S))(
+            state["parent"], state["age"]))
 
         def treeage_lpdf(t1):
             return _scalar_prior_lpdf(ts.treeagepr, t1)
@@ -2265,8 +2595,8 @@ class Engine:
                 par >= 0, age[jnp.maximum(par, 0)] > age - 1e-12, True))
 
         ok = ordered(state["s_parent"], state["s_age"])
-        for g in range(self.n_div):
-            ok = ok & ordered(state["parent"][g], state["age"][g])
+        ok = ok & jnp.all(jax.vmap(ordered)(state["parent"],
+                                            state["age"]))
         return jnp.where(ok, lp, NEG_INF)
 
     def _log_prior_clock(self, state):
@@ -2453,30 +2783,47 @@ class Engine:
 
     @partial(jax.jit, static_argnums=(0, 3))
     def run_block(self, states, bk, n_gens: int):
-        """Advance all chains n_gens generations on device."""
+        """Advance all chains n_gens generations on device.
+
+        Per-generation PRNG material (move selection, chain keys, swap
+        keys) is pregenerated for the whole block in a few batched
+        kernels and fed to the scan as xs — deriving it inside the body
+        costs ~8 extra tiny kernels per generation, and at small chain
+        counts the step is kernel-dispatch-bound (measured: an identity
+        scan body already costs ~26 us/gen at 4 chains on v5e)."""
         nm = len(self.moves)
         lam = self.mcmc.temp
+        gen0 = bk["gen"]
+        gens = gen0 + jnp.arange(n_gens)
+        gkeys = jax.vmap(lambda g: jax.random.fold_in(bk["key"], g))(gens)
+        ksel_all = jax.vmap(lambda k: jax.random.split(k)[0])(gkeys)
+        krest = jax.vmap(lambda k: jax.random.split(k)[1])(gkeys)
+        ckeys_all = jax.vmap(
+            lambda k: jax.random.split(k, self.mcmc.n_chains_total))(krest)
+        if self.mcmc.per_chain_moves:
+            midx_all = jax.vmap(lambda k: jax.random.categorical(
+                k, self.move_logits,
+                shape=(self.mcmc.n_chains_total,)))(ksel_all)
+        else:
+            midx_all = jax.vmap(lambda k: jax.random.categorical(
+                k, self.move_logits))(ksel_all)
+        skeys_all = jax.vmap(
+            lambda g: jax.random.fold_in(bk["swap_key"], g))(gens)
 
-        def gen(carry, g):
+        def gen(carry, xs):
             states, bk = carry
-            key = jax.random.fold_in(bk["key"], g)
-            k_sel, key = jax.random.split(key)
-            keys = jax.random.split(key, self.mcmc.n_chains_total)
+            g, keys, move_idx, skey = xs
             heats = 1.0 / (1.0 + lam * bk["temp_id"].astype(jnp.float32))
             power = bk.get("power", jnp.float32(1.0))
             if self.mcmc.per_chain_moves:
                 # reference-style independent PickProposal per chain;
                 # under vmap the lax.switch evaluates every move branch
                 # for every chain (the measured cost of decorrelation)
-                move_idx = jax.random.categorical(
-                    k_sel, self.move_logits,
-                    shape=(self.mcmc.n_chains_total,))
                 states, accepted = jax.vmap(
                     self._chain_step, in_axes=(0, 0, 0, 0, None, 0))(
                     keys, states, heats, bk["tuning"], power, move_idx)
                 onehot = jax.nn.one_hot(move_idx, nm, dtype=jnp.int32)
             else:
-                move_idx = jax.random.categorical(k_sel, self.move_logits)
                 states, accepted = jax.vmap(
                     self._chain_step, in_axes=(0, 0, 0, 0, None, None))(
                     keys, states, heats, bk["tuning"], power, move_idx)
@@ -2490,8 +2837,6 @@ class Engine:
                   "accepts_total": bk["accepts_total"]
                   + onehot * accepted[:, None].astype(jnp.int32)}
             if self.mcmc.nchains > 1:
-                skey = jax.random.fold_in(bk["swap_key"], g)
-
                 def swap(args):
                     return self._swap_step(skey, states, *args, power)
 
@@ -2513,9 +2858,9 @@ class Engine:
                     self._autotune, lambda b: b, bk)
             return (states, bk), None
 
-        gen0 = bk["gen"]
         (states, bk), _ = jax.lax.scan(
-            gen, (states, bk), gen0 + jnp.arange(n_gens))
+            gen, (states, bk),
+            (gens, ckeys_all, midx_all, skeys_all))
         bk = {**bk, "gen": gen0 + n_gens}
         return states, bk
 
@@ -2584,4 +2929,5 @@ class Engine:
             left=np.asarray(states["left"][slot]),
             right=np.asarray(states["right"][slot]),
             blen=self.effective_blens(states, slot),
-            n_tips=self.n_tips, rooted=self.tree_settings.clock)
+            n_tips=self.n_tips,
+            rooted=self.tree_settings.clock or self.rooted_nonclock)

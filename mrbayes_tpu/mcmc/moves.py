@@ -43,11 +43,17 @@ def _replace_child(state, node, old, new):
     return {**state, "left": left, "right": right, "parent": parent}
 
 
-def _free_branch_mask(state, n_tips):
-    """Branches with a sampled length: every node except root and tip 0."""
+def _free_branch_mask(state, n_tips, rooted=False):
+    """Branches with a sampled length: every node except the root; in the
+    unrooted (tip-0-rooted) convention tip 0's slot is also fixed at 0
+    (its pendant edge rides on the basal node).  ``rooted=True`` is the
+    rooted non-clock case (directional models): tip 0 is an ordinary
+    branch."""
     n_nodes = 2 * n_tips - 1
-    mask = jnp.ones((n_nodes,), bool)
-    return mask.at[n_nodes - 1].set(False).at[0].set(False)
+    mask = jnp.ones((n_nodes,), bool).at[n_nodes - 1].set(False)
+    if not rooted:
+        mask = mask.at[0].set(False)
+    return mask
 
 
 def _subtree_mask(parent, v):
@@ -58,6 +64,23 @@ def _subtree_mask(parent, v):
     hit = idx == v
     for _ in range(max(1, math.ceil(math.log2(n)))):
         hit = hit | jnp.take(hit, anc)
+        anc = jnp.take(anc, anc)
+    return hit
+
+
+def _desc_matrix(parent):
+    """[n, n] bool closure: D[a, i] = i is in the subtree of a (a is an
+    ancestor-or-self of i).  One pointer-doubling pass batched over ALL
+    nodes — same kernel count as a single _subtree_mask call, so any
+    move needing several subtree/ancestor masks should build this once
+    (D[a, :] = subtree of a; D[:, a] = ancestors-or-self of a)."""
+    import math
+    n = parent.shape[-1]
+    idx = jnp.arange(n)
+    anc = jnp.where(parent < 0, idx, parent)
+    hit = idx[:, None] == idx[None, :]
+    for _ in range(max(1, math.ceil(math.log2(n)))):
+        hit = hit | jnp.take(hit, anc, axis=1)
         anc = jnp.take(anc, anc)
     return hit
 
@@ -470,21 +493,23 @@ def move_subtree_swap(key, state, tuning, n_tips):
     base = (idx != root) & (idx != 0) & (idx != basal)
     v = _masked_choice(k1, base)
 
-    def partner_mask(par, a):
-        # non-nested with a, not a's sibling (sibling swap is the identity)
-        return (base & ~_subtree_mask(par, a) & ~_ancestor_path_mask(par, a)
-                & (par != par[a]))
+    def partner_mask(desc, par, a):
+        # non-nested with a, not a's sibling (sibling swap is the
+        # identity); one closure matrix serves all four mask queries
+        return (base & ~desc[a, :] & ~desc[:, a] & (par != par[a]))
 
-    wm_v = partner_mask(parent, v)
+    desc = _desc_matrix(parent)
+    wm_v = partner_mask(desc, parent, v)
     w = _masked_choice(k2, wm_v)
     c_v = jnp.sum(wm_v)
-    c_w = jnp.sum(partner_mask(parent, w))
+    c_w = jnp.sum(partner_mask(desc, parent, w))
     pv, pw = parent[v], parent[w]
     st = _replace_child(state, pv, v, w)
     st = _replace_child(st, pw, w, v)
     par2 = st["parent"]
-    c2_v = jnp.sum(partner_mask(par2, v))
-    c2_w = jnp.sum(partner_mask(par2, w))
+    desc2 = _desc_matrix(par2)
+    c2_v = jnp.sum(partner_mask(desc2, par2, v))
+    c2_w = jnp.sum(partner_mask(desc2, par2, w))
 
     def inv(c):
         return 1.0 / jnp.maximum(c, 1).astype(jnp.float32)
@@ -681,10 +706,10 @@ def make_pars_tbr_move(pars_masks, pars_factors):
 # branch-length moves
 
 
-def move_blen_multiplier(key, state, tuning, n_tips):
+def move_blen_multiplier(key, state, tuning, n_tips, rooted=False):
     """Multiply one random free branch by exp(lambda(u-1/2))."""
     k1, k2 = jax.random.split(key)
-    mask = _free_branch_mask(state, n_tips)
+    mask = _free_branch_mask(state, n_tips, rooted)
     v = _masked_choice(k1, mask)
     m = jnp.exp(tuning * (jax.random.uniform(k2) - 0.5))
     new = state["blen"][v] * m
@@ -693,10 +718,10 @@ def move_blen_multiplier(key, state, tuning, n_tips):
     return st, jnp.where(ok, jnp.log(m), NEG_INF)
 
 
-def move_treelen_multiplier(key, state, tuning, n_tips):
+def move_treelen_multiplier(key, state, tuning, n_tips, rooted=False):
     """Scale all free branches; lnH = n_free * log m
     (reference Move_TreeLen src/proposal.c:17136)."""
-    mask = _free_branch_mask(state, n_tips)
+    mask = _free_branch_mask(state, n_tips, rooted)
     m = jnp.exp(tuning * (jax.random.uniform(key) - 0.5))
     blen = jnp.where(mask, state["blen"] * m, state["blen"])
     n_free = jnp.sum(mask)
@@ -706,13 +731,15 @@ def move_treelen_multiplier(key, state, tuning, n_tips):
     return st, jnp.where(ok, n_free * jnp.log(m), NEG_INF)
 
 
-def move_node_slider(key, state, tuning, n_tips):
+def move_node_slider(key, state, tuning, n_tips, rooted=False):
     """Pick an internal non-root node; redistribute the two incident branch
     lengths (its own and one child's) keeping the sum, by uniform slide."""
     k1, k2, k3 = jax.random.split(key, 3)
     root = 2 * n_tips - 2
     idx = jnp.arange(2 * n_tips - 1)
-    mask = (idx >= n_tips) & (idx != root) & (idx != state["left"][root])
+    mask = (idx >= n_tips) & (idx != root)
+    if not rooted:
+        mask = mask & (idx != state["left"][root])
     v = _masked_choice(k1, mask)
     c = jnp.where(jax.random.bernoulli(k2), state["left"][v],
                   state["right"][v])
@@ -795,3 +822,74 @@ def make_slider_move(field, lo, hi):
         return {**state, field: arr.at[gi].set(new)}, jnp.float32(0.0)
     move.__name__ = f"move_{field}_slider"
     return move
+
+
+# ---------------------------------------------------------------------------
+# rooted non-clock topology moves (directional substitution models:
+# restriction data with statefreqmodel=directional|mixed forces a rooted
+# tree with free branch lengths; reference TOPOLOGY_RNCL_* paramIds,
+# src/model.c:20126-20134, moved by the standard NNI/SPR machinery)
+
+
+def move_rooted_nni(key, state, tuning, n_tips):
+    """NNI on a rooted tree: swap a random child of a random internal
+    non-root node with that node's sibling.  Symmetric (lnH = 0)."""
+    root = 2 * n_tips - 2
+    parent, left, right = state["parent"], state["left"], state["right"]
+    k1, k2 = jax.random.split(key)
+    idx = jnp.arange(2 * n_tips - 1)
+    mask = (idx >= n_tips) & (idx != root)
+    v = _masked_choice(k1, mask)
+    p = parent[v]
+    s = jnp.where(left[p] == v, right[p], left[p])
+    c = jnp.where(jax.random.bernoulli(k2), left[v], right[v])
+    st = _replace_child(state, v, c, s)
+    st = _replace_child(st, p, s, c)
+    return st, jnp.float32(0.0)
+
+
+def move_rooted_spr(key, state, tuning, n_tips):
+    """Rooted SPR: prune the parent edge of a random node v (parent not
+    the root), close the gap, and regraft onto a uniformly chosen edge
+    anywhere outside v's subtree — including the root's child edges, so
+    the root location itself mixes.  lnH = ln(k_f/k_r) + ln(t_w/merged)
+    (uniform target choice with topology-dependent candidate counts plus
+    the uniform-split length densities)."""
+    root = 2 * n_tips - 2
+    parent, left, right, blen = (state["parent"], state["left"],
+                                 state["right"], state["blen"])
+    k1, k2, k3 = jax.random.split(key, 3)
+    idx = jnp.arange(2 * n_tips - 1)
+    vmask = (idx != root) & (parent != root)
+    v = _masked_choice(k1, vmask)
+    p = parent[v]
+    g = parent[p]
+    s = jnp.where(left[p] == v, right[p], left[p])
+    merged = blen[s] + blen[p]
+    desc = _desc_matrix(parent)
+
+    def wmask_of(desc_m, par, vv, pp):
+        return (idx != root) & ~desc_m[vv, :] & (idx != pp)
+
+    wm = wmask_of(desc, parent, v, p)
+    k_f = jnp.sum(wm)    # both counts include their identity target
+    w = _masked_choice(k2, wm)
+    t_w = jnp.where(w == s, merged, blen[w])
+    u_split = jax.random.uniform(k3)
+    # surgery: close the gap, then insert p above w
+    st = _replace_child(state, g, p, s)
+    st = {**st, "blen": st["blen"].at[s].set(merged)}
+    gw = st["parent"][w]
+    st = _replace_child(st, gw, w, p)
+    st = _replace_child(st, p, s, w)
+    blen2 = st["blen"].at[p].set(u_split * t_w).at[w].set(
+        (1.0 - u_split) * t_w)
+    st = {**st, "blen": blen2}
+    desc2 = _desc_matrix(st["parent"])
+    k_r = jnp.sum(wmask_of(desc2, st["parent"], v, p))
+    lnH = (jnp.log(jnp.maximum(k_f, 1).astype(jnp.float32))
+           - jnp.log(jnp.maximum(k_r, 1).astype(jnp.float32))
+           + jnp.log(jnp.maximum(t_w, 1e-35))
+           - jnp.log(jnp.maximum(merged, 1e-35)))
+    ok = (jnp.sum(vmask) > 0) & (jnp.sum(wm) > 0) & (w != v)
+    return st, jnp.where(ok, lnH, NEG_INF)

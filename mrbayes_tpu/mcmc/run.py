@@ -177,6 +177,25 @@ def param_columns(eng: Engine):
             cols.append((f"pi({nm})" + suffix("pi2", gid),
                          lambda st, s, g=gid, k=k:
                          float(st["pi2"][s, g, k])))
+    for gid in range(eng.n_groups.get("rootpi2", 0)):
+        # directional root frequencies; the reference prints -9999 when
+        # a mixed run is in the stationary state, plus a statefrmod
+        # indicator column (observed reference .p output)
+        mixed = any(c.dirpi_mix for c in eng.div_cfg
+                    if c.rootpi_group == gid)
+
+        def rootv(st, s, g, k, mixed=mixed):
+            if mixed and int(st["dirpi_on"][s, g]) == 0:
+                return -9999.0
+            return float(st["rootpi2"][s, g, k])
+
+        for k in (0, 1):
+            cols.append((f"rootpi({k})" + suffix("rootpi", gid),
+                         lambda st, s, g=gid, k=k: rootv(st, s, g, k)))
+        if mixed:
+            cols.append(("statefrmod",
+                         lambda st, s, g=gid:
+                         float(st["dirpi_on"][s, g])))
     for gid in range(eng.n_groups.get("pi61", 0)):
         code = next(c.codon for c in eng.div_cfg
                     if c.pi_group == gid and c.pi_field == "pi61")
@@ -224,8 +243,11 @@ def param_columns(eng: Engine):
         cols.append(("brownScale" + suffix("brownscale", gid),
                      lambda st, s, g=gid: float(st["brownscale"][s, g])))
     if eng.ratemult_on:
+        # BEST gene rates print as g_m{i} (reference P_GENETREERATE
+        # header, src/model.c:20048); partition rates as m{i}
+        mname = "g_m" if getattr(eng, "generate_on", False) else "m"
         for d in range(n_div):
-            cols.append((f"m{{{d + 1}}}",
+            cols.append((f"{mname}{{{d + 1}}}",
                          lambda st, s, d=d: float(
                              st["ratemult"][s, d] / eng.div_char_frac[d])))
     return cols

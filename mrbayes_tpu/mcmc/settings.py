@@ -73,6 +73,16 @@ class DivisionSettings:
         "dirichlet", (1.0,)))
     symdirihyperpr: Prior = field(default_factory=lambda: Prior("fixed", (-1.0,)))
     ratepr: str = "fixed"             # fixed | variable
+    # non-stationary root frequencies (restriction data only in the
+    # reference too: lset statefrmod, src/model.c:3950-3978; root freqs
+    # sampled under rootFreqPr, likelihood root-weighted with them,
+    # src/likelihood.c:7155-7165)
+    statefreqmodel: str = "stationary"   # stationary|directional|mixed
+    rootfreqpr: Prior = field(default_factory=lambda: Prior(
+        "dirichlet", (1.0, 1.0)))
+    # BEST: per-gene rate multipliers (reference generatePr,
+    # src/model.c:6675; Move_GeneRate_Dir src/proposal.c:5537)
+    generatepr: str = "fixed"         # fixed | variable
     # continuous (Brownian-motion) characters.  NOTE: the reference's own
     # Likelihood_Cont is an empty stub returning lnL=0
     # (src/likelihood.c:7554 "//chi TODO"); here the PIC/REML likelihood

@@ -84,8 +84,12 @@ def root_partials(left, right, parent, blen, tip_partials, lam, U, Uinv,
         partials = partials.at[v].set(cl)
         return (partials, logscale), None
 
+    # tiny trees (BEST gene trees, small alignments) are dispatch-bound:
+    # fully unroll the short postorder so XLA can fuse across steps
+    unroll = n_tips - 1 if n_tips <= 16 else 1
     (partials, logscale), _ = jax.lax.scan(
-        step, (partials, jnp.zeros((npat,), dtype)), order)
+        step, (partials, jnp.zeros((npat,), dtype)), order,
+        unroll=unroll)
     return partials, logscale
 
 

@@ -65,6 +65,22 @@ AAGTR_CMDS = [
     "prset applyto=(1,2) statefreqpr=fixed(equal)",
     "prset applyto=(3) aamodelpr=fixed(gtr)",
 ]
+# directional/mixed state-frequency model (restriction data only; the
+# reference binary accepts the model via 'lset statefrmod=...' — its
+# prset has no reachable rootfreqpr key, so the default Dirichlet(1,1)
+# root prior applies on both sides)
+DIRFREQ_CMDS = [
+    "execute /root/repo/tests/data/restriction.nex",
+    "lset coding=noabsencesites",
+    "lset statefrmod=directional",
+    "prset statefreqpr=dirichlet(1,1)",
+]
+MIXFREQ_CMDS = [
+    "execute /root/repo/tests/data/restriction.nex",
+    "lset coding=noabsencesites",
+    "lset statefrmod=mixed",
+    "prset statefreqpr=dirichlet(1,1)",
+]
 
 REVS = ("A<->C", "A<->G", "A<->T", "C<->G", "C<->T", "G<->T")
 AA = "ARNDCQEGHILKMFPSTWYV"
@@ -171,6 +187,19 @@ def aagtr_state(row, eng):
     }
 
 
+def dirfreq_state(row, eng):
+    st = {
+        "pi2": [[float(row["pi(0)"]), float(row["pi(1)"])]],
+        "rootpi2": [[0.5, 0.5]],
+    }
+    r0 = float(row["rootpi(0)"])
+    if r0 > -1000:
+        st["rootpi2"] = [[r0, float(row["rootpi(1)"])]]
+    if "statefrmod" in row:
+        st["dirpi_on"] = [int(float(row["statefrmod"]))]
+    return st
+
+
 CONFIGS = [
     ("kim_hky_g_mixed4", KIM_CMDS, kim_state, 200, 100, 0.6),
     ("primates_part2_unlinked_gtr_g", PART_CMDS, part_state, 200, 100,
@@ -180,6 +209,8 @@ CONFIGS = [
     ("primates_covarion_hky", COV_CMDS, cov_state, 60, 30, 1.0),
     ("kim_stems_doublet_gtr", DBL_CMDS, dbl_state, 60, 30, 1.0),
     ("kim_protein_gtr", AAGTR_CMDS, aagtr_state, 60, 30, 1.0),
+    ("restriction_directional", DIRFREQ_CMDS, dirfreq_state, 60, 30, 0.3),
+    ("restriction_mixedfreq", MIXFREQ_CMDS, dirfreq_state, 60, 30, 0.3),
 ]
 
 
@@ -219,11 +250,13 @@ def main():
             eng = it.build_engine()
             for gi, pline in enumerate(plines[2:]):
                 row = dict(zip(hdr, pline.rstrip("\n").split("\t")))
+                rooted = "[&R]" in tlines[gi]
                 nwk = tlines[gi].split("=", 1)[1].replace(
                     "[&U]", "").replace("[&R]", "").strip()
                 out.append({
                     "name": name, "commands": cmds, "gen": int(row["Gen"]),
-                    "newick": nwk, "lnL": float(row["lnLike"]),
+                    "newick": nwk, "rooted": rooted,
+                    "lnL": float(row["lnLike"]),
                     "state": mapper(row, eng), "tol": tol})
             print(f"{name}: {len(plines) - 2} rows")
     with open(os.path.join(HERE, "golden_extra.json"), "w") as f:

@@ -177,3 +177,28 @@ def test_species_tree_move_in_engine_accepts():
     assert tries > 0
     assert accepts > 0, "sp_distmatrix never accepted"
     assert np.isfinite(np.asarray(states["lnL"])).all()
+
+
+def test_generatepr_variable_gene_rates(tmp_path):
+    """BEST generatepr=variable samples per-gene rate multipliers to .p
+    as g_m{i} (reference P_GENETREERATE + Move_GeneRate_Dir,
+    src/model.c:20016-20060, src/proposal.c:5537)."""
+    from mrbayes_tpu.cli import Interpreter
+    it = Interpreter(log=lambda m: None)
+    it.run_line("execute /root/reference/examples/finch.nex")
+    it.run_line("prset generatepr=variable")
+    pfx = str(tmp_path / "gout")
+    it.run_line(f"mcmc ngen=400 nruns=1 nchains=1 samplefreq=50 "
+                f"printfreq=1000 seed=21 swapseed=22 file={pfx}")
+    hdr = open(pfx + ".run1.p").readlines()[1].rstrip("\n").split("\t")
+    gcols = [h for h in hdr if h.startswith("g_m{")]
+    eng = it._last_runner.eng
+    assert len(gcols) == eng.n_div, hdr
+    import numpy as np
+    rows = np.array([[float(x) for x in ln.split("\t")]
+                     for ln in open(pfx + ".run1.p").readlines()[2:]])
+    gm = rows[:, [hdr.index(c) for c in gcols]]
+    # rates move and keep the site-weighted mean at 1
+    assert np.std(gm) > 0.0
+    w = np.asarray(eng.div_char_frac)
+    np.testing.assert_allclose(gm @ w, np.ones(len(gm)), atol=1e-4)
