@@ -616,7 +616,7 @@ class Interpreter:
 
     LSET_KEYS = ("applyto", "nst", "rates", "ngammacat", "nucmodel", "code",
                  "covarion", "coding", "omegavar", "parsmodel", "nbetacat",
-                 "nmixtcat", "usegibbs", "gibbsfreq",
+                 "nmixtcat", "usegibbs", "gibbsfreq", "nlnormcat",
                  "numm10betacats", "numm10gammacats",
                  "statefreqmodel", "statefrmod")
 
@@ -647,6 +647,8 @@ class Interpreter:
                     s.rates = v
                 elif key == "ngammacat":
                     s.ngammacat = int(v)
+                elif key == "nlnormcat":
+                    s.nlnormcat = int(v)
                 elif key == "nucmodel":
                     s.nucmodel = v
                 elif key == "code":

@@ -557,7 +557,8 @@ class Engine:
                 cfg.tratio_group = group_of("tratio", d, repr(s.tratiopr))
             if s.rates in ("gamma", "invgamma", "lnorm", "adgamma"):
                 cfg.shape_group = group_of("shape", d, repr(s.shapepr))
-                cfg.n_cats = s.ngammacat
+                cfg.n_cats = (s.nlnormcat if s.rates == "lnorm"
+                              else s.ngammacat)
             if s.rates in ("propinv", "invgamma"):
                 cfg.pinvar_group = group_of("pinvar", d, repr(s.pinvarpr))
             if s.rates == "adgamma":

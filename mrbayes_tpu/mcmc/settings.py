@@ -22,6 +22,8 @@ class DivisionSettings:
     rates: str = "equal"   # equal|gamma|propinv|invgamma|lnorm|adgamma|
                            # kmixture
     ngammacat: int = 4
+    nlnormcat: int = 4                # rates=lnorm category count
+                                      # (reference Nlnormcat, param 276)
     nmixtcat: int = 4                 # rates=kmixture components
     nbetacat: int = 5                 # symdirihyperpr beta categories
     parsmodel: bool = False           # Tuffley-Steel parsimony model
