@@ -31,7 +31,9 @@ def make_pruner(tip_partials, n_cats: int, coding: str = "all"):
     accounts for the appended dummy constant patterns."""
     import numpy as np
 
-    from .pruning_pallas import PruningPallas, pick_pattern_block
+    from .pruning_pallas import (PruningPallas, PruningPallasWavefront,
+                                 pick_pattern_block, wavefront_vmem_bytes,
+                                 VMEM_CAP)
     tp = np.asarray(tip_partials)
     n_tips, P, S = tp.shape
     if coding != "all":
@@ -42,6 +44,18 @@ def make_pruner(tip_partials, n_cats: int, coding: str = "all"):
     ppad = ((tp.shape[1] + 127) // 128) * 128
     if pick_pattern_block(n_tips, ksp, ppad) is None:
         return None
+    import os
+    W = 8
+    if os.environ.get("MB_TPU_WAVEFRONT", "0") == "1" \
+            and n_tips >= 24 and ksp <= 32 \
+            and wavefront_vmem_bytes(n_tips, ksp, 128, W) <= VMEM_CAP:
+        # Level-batched kernel: cuts the in-kernel dependent chain from
+        # n_int to ~tree height.  OPT-IN (measured SLOWER on v5e for
+        # hymfossil: ~9 us/row vs ~1 us/serial-step — the block-diagonal
+        # assembly pays lane-unaligned VMEM writes and a value relayout
+        # that outweigh the depth win; kept for future Mosaic versions
+        # and as the reference implementation of the schedule).
+        return PruningPallasWavefront(tp, n_cats, W=W)
     return PruningPallas(tp, n_cats)
 
 
@@ -173,7 +187,7 @@ def root_clv(left, right, parent, blen, tip_partials, lam, U, Uinv,
         P = transition_probs(lam.astype(dtype), U.astype(dtype),
                              Uinv.astype(dtype), eff)
         order = postorder_internal(parent, n_tips)
-        return pruner(order, left, right, P)
+        return pruner(order, left, right, P, parent=parent)
     partials, logscale = root_partials(
         left, right, parent, blen, tip_partials, lam, U, Uinv,
         cat_rates, pinv, n_tips, rate_mult)

@@ -206,9 +206,11 @@ class PruningPallas:
                             (0, self.KSp - self.KS)))
         return B
 
-    def __call__(self, order, left, right, Pmat):
+    def __call__(self, order, left, right, Pmat, parent=None):
         """order [n_int] postorder internal-node ids; left/right [n_nodes];
-        Pmat [n_nodes, K, S, S].  Returns (root [P, K, S], logscale [P])."""
+        Pmat [n_nodes, K, S, S].  Returns (root [P, K, S], logscale [P]).
+        ``parent`` is accepted for interface parity with the wavefront
+        variant (unused here)."""
         n_tips = self.n_tips
         n_int = order.shape[0]
         n_nodes = left.shape[0]
@@ -250,6 +252,265 @@ def _make_pruning_root(n_tips: int):
         if tips_b:
             tips = tips[0]   # tips identical across chains by construction
         root, ls = _pallas_batched(lr, bstep, tips, n_tips)
+        return (root, ls), (True, True)
+
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# Wavefront (level-batched) kernel: instead of one serial fori_loop step
+# per internal node (dependent chain length n_int), group nodes into
+# root-distance levels — every node at distance k depends only on nodes
+# at distance > k — and compute each level row (up to W nodes) as ONE
+# block-diagonal [2W*KSp, 2W*KSp] x [2W*KSp, Pblk] MXU contraction.  The
+# dependent chain shrinks from n_int to ~tree height (+ level splits),
+# the diagnosed latency bound of the serial kernel (ROOFLINE.json).
+
+
+def _kernel_wavefront(nrows_ref, row_lr_ref, row_out_ref, bidx_ref,
+                      wmask_ref, bstep_ref, tips_ref, root_ref, ls_ref,
+                      cl_ref, bd_ref, cbuf_ref,
+                      *, n_tips: int, n_int: int, W: int, ksp: int):
+    """One (chain, pattern-block) grid cell.
+
+    nrows_ref  SMEM [1, 1]         number of live schedule rows
+    row_lr_ref SMEM [1, R*W*2]     child slot ids (trash slot when pad);
+                                   flattened because SMEM pads every
+                                   trailing dim to the 128-lane tile
+    row_out_ref SMEM [1, R*W]      output slot ids
+    bidx_ref   SMEM [1, R*W]       bstep row per (row, w) (n_int = pad)
+    wmask_ref  SMEM [1, R*W]       1.0 live / 0.0 pad (logscale gating)
+    bstep_ref  VMEM [n_int+1, 2, KSp, KSp]  per-node child tiprob blocks
+    cl_ref     VMEM scratch [n_tips + n_int + 1, KSp, Pblk] (+1 = trash)
+    bd_ref     VMEM scratch [2W*KSp, 2W*KSp] block-diagonal operator
+    cbuf_ref   VMEM scratch [2W*KSp, Pblk]   gathered child partials
+    """
+    cl_ref[0:n_tips] = tips_ref[:]
+    # trash slot: read by padded schedule entries; keep it finite so the
+    # (masked) rescale math stays NaN-free
+    cl_ref[n_tips + n_int] = jnp.ones_like(cl_ref[0])
+    ls_ref[:] = jnp.zeros_like(ls_ref)
+
+    def row_step(r, _):
+        # static python loops over the row width: Mosaic supports dynamic
+        # indices on REFS (SMEM scalar loads, VMEM leading-axis
+        # reads/writes) but not dynamic_slice on VALUES, so every value
+        # index below is a python int
+        bd_ref[:] = jnp.zeros_like(bd_ref)
+        for i in range(2 * W):
+            w = i // 2
+            c = i % 2
+            child = row_lr_ref[0, (r * W + w) * 2 + c]
+            b = bidx_ref[0, r * W + w]
+            cbuf_ref[i * ksp:(i + 1) * ksp, :] = cl_ref[child]
+            bd_ref[i * ksp:(i + 1) * ksp, i * ksp:(i + 1) * ksp] = \
+                bstep_ref[b, c]
+        prod = jnp.dot(bd_ref[:], cbuf_ref[:],
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+        pr = prod.reshape(W, 2, ksp, -1)
+        cc = pr[:, 0] * pr[:, 1]                      # [W, KSp, Pblk]
+        m = jnp.maximum(jnp.max(cc, axis=1), _TINY)   # [W, Pblk]
+        cc = cc / m[:, None, :]
+        lsum = jnp.zeros_like(ls_ref[0])
+        for w in range(W):
+            cl_ref[row_out_ref[0, r * W + w]] = cc[w]
+            # select, not multiply: padded entries hold trash-slot math
+            # whose log may be non-finite, and NaN*0 = NaN
+            lsum = lsum + jnp.where(wmask_ref[0, r * W + w] > 0.0,
+                                    jnp.log(m[w]), 0.0)
+        ls_ref[:] = ls_ref[:] + lsum[None, :]
+        return 0
+
+    jax.lax.fori_loop(0, nrows_ref[0, 0], row_step, 0)
+    root_ref[:] = cl_ref[n_tips + n_int - 1]
+
+
+def wavefront_vmem_bytes(n_tips: int, ksp: int, pblk: int, W: int) -> int:
+    n_int = n_tips - 1
+    lane = _round_up(ksp, 128)
+    sub = _round_up(ksp, 8)
+    bstep_blk = (n_int + 1) * 2 * sub * lane * 4
+    tips_blk = n_tips * sub * pblk * 4
+    scratch = (n_tips + n_int + 1) * sub * pblk * 4
+    twk = 2 * W * ksp
+    bd = _round_up(twk, 8) * _round_up(twk, 128) * 4
+    cbuf = _round_up(twk, 8) * pblk * 4
+    outs = (sub * pblk + pblk) * 4
+    return (2 * bstep_blk + 2 * tips_blk + scratch + bd + cbuf
+            + 2 * outs + (1 << 20))
+
+
+def _pallas_batched_wavefront(nrows, row_lr, row_out, bidx, wmask, bstep,
+                              tips, n_tips: int, W: int):
+    """nrows [C,1,1] i32; row_lr [C,R*W*2]; row_out [C,R*W];
+    bidx [C,R*W]; wmask [C,R*W] f32; bstep [C,n_int+1,2,KSp,KSp];
+    tips [n_tips,KSp,Ppad].  Returns (root [C,KSp,Ppad], ls [C,Ppad])."""
+    C = row_lr.shape[0]
+    R = row_lr.shape[-1] // (2 * W)
+    n_int = n_tips - 1
+    ksp = bstep.shape[-1]
+    ppad = tips.shape[-1]
+    pblk = pick_pattern_block(n_tips, ksp, ppad)
+    while pblk is not None and pblk > 128 and \
+            wavefront_vmem_bytes(n_tips, ksp, pblk, W) > VMEM_CAP:
+        pblk //= 2
+    if pblk is None or wavefront_vmem_bytes(n_tips, ksp, pblk, W) > VMEM_CAP:
+        raise ValueError("wavefront kernel working set exceeds VMEM")
+    nblk = ppad // pblk
+    twk = 2 * W * ksp
+    vmem_limit = min(int(wavefront_vmem_bytes(n_tips, ksp, pblk, W) * 1.15),
+                     VMEM_CAP)
+    grid = (C, nblk)
+    kernel = functools.partial(_kernel_wavefront, n_tips=n_tips,
+                               n_int=n_int, W=W, ksp=ksp)
+    root, ls = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, 1, 1), lambda c, b: (c, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((None, 1, R * W * 2), lambda c, b: (c, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((None, 1, R * W), lambda c, b: (c, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((None, 1, R * W), lambda c, b: (c, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((None, 1, R * W), lambda c, b: (c, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((None, n_int + 1, 2, ksp, ksp),
+                         lambda c, b: (c, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_tips, ksp, pblk), lambda c, b: (0, 0, b),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, ksp, pblk), lambda c, b: (c, 0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 1, pblk), lambda c, b: (c, 0, b),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((C, ksp, ppad), jnp.float32),
+            jax.ShapeDtypeStruct((C, 1, ppad), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n_tips + n_int + 1, ksp, pblk), jnp.float32),
+            pltpu.VMEM((twk, twk), jnp.float32),
+            pltpu.VMEM((twk, pblk), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * C * R * twk * twk * pblk // 4,
+            bytes_accessed=C * ((n_int + 1) * 2 * ksp * ksp
+                                + 2 * ksp * ppad) * 4,
+            transcendentals=C * n_int * ppad,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit),
+    )(nrows, row_lr, row_out, bidx, wmask, bstep, tips)
+    return root, ls[:, 0, :]
+
+
+class PruningPallasWavefront(PruningPallas):
+    """Level-batched variant for deep trees with small state spaces.
+
+    Schedule is recomputed per call from the traced topology: nodes
+    grouped by root distance (node_depths is already computed for the
+    postorder, so the only extra traced work is the within-level rank
+    bookkeeping and four small scatters)."""
+
+    def __init__(self, tips: np.ndarray, n_cats: int, W: int = 8):
+        super().__init__(tips, n_cats)
+        self.W = W
+
+    def __call__(self, order, left, right, Pmat, parent=None):
+        assert parent is not None, "wavefront pruner needs parent"
+        n_tips = self.n_tips
+        n_int = order.shape[0]
+        n_nodes = left.shape[0]
+        W = self.W
+        from .traversal import node_depths
+        depth = node_depths(parent)
+        d = depth[order]                        # descending (stable sort)
+        pos = jnp.arange(n_int)
+        b = jnp.concatenate([jnp.ones((1,), bool), d[1:] != d[:-1]])
+        start = jax.lax.cummax(jnp.where(b, pos, 0))
+        within = pos - start
+        newrow = b | (within % W == 0)
+        row = jnp.cumsum(newrow.astype(jnp.int32)) - 1
+        col = within % W
+        n_rows = row[-1] + 1
+        slot = jnp.zeros((n_nodes,), jnp.int32)
+        slot = slot.at[:n_tips].set(jnp.arange(n_tips, dtype=jnp.int32))
+        slot = slot.at[order].set(
+            n_tips + jnp.arange(n_int, dtype=jnp.int32))
+        lchild = slot[left[order]]
+        rchild = slot[right[order]]
+        trash = jnp.int32(n_tips + n_int)
+        R = n_int
+        flat = row * W + col
+        # scatter-free schedule materialization: TPU scatters lower to
+        # serial loops, so build the [R*W] tables with ONE one-hot
+        # matmul instead of four .at[].set scatters
+        oh = (flat[:, None] == jnp.arange(R * W)[None, :]).astype(
+            jnp.float32)                          # [n_int, R*W]
+        occupied = jnp.sum(oh, axis=0) > 0.0
+        ivals = jnp.stack([lchild.astype(jnp.float32),
+                           rchild.astype(jnp.float32),
+                           (n_tips + jnp.arange(n_int)).astype(
+                               jnp.float32),
+                           jnp.arange(n_int).astype(jnp.float32)], 1)
+        packed = jnp.einsum("nf,nk->fk", oh, ivals)   # [R*W, 4]
+        lr0 = jnp.where(occupied, packed[:, 0].astype(jnp.int32), trash)
+        lr1 = jnp.where(occupied, packed[:, 1].astype(jnp.int32), trash)
+        row_lr = jnp.stack([lr0, lr1], axis=1).reshape(-1)
+        row_out = jnp.where(occupied, packed[:, 2].astype(jnp.int32),
+                            trash)
+        bidx = jnp.where(occupied, packed[:, 3].astype(jnp.int32),
+                         jnp.int32(n_int))
+        wmask = occupied.astype(jnp.float32)
+        B = self.block_diag(Pmat)
+        bstep = jnp.stack([B[left[order]], B[right[order]]], axis=1)
+        bstep = jnp.concatenate(
+            [bstep, jnp.zeros((1,) + bstep.shape[1:], bstep.dtype)], 0)
+        root, ls = _wavefront_root(
+            jnp.asarray([[n_rows]], jnp.int32), row_lr[None], row_out[None],
+            bidx[None], wmask[None], bstep, self.tips_dev, n_tips, W)
+        root = root[:self.KS, :self.P].reshape(self.K, self.S, self.P)
+        return jnp.transpose(root, (2, 0, 1)), ls[:self.P]
+
+
+def _wavefront_root(nrows, row_lr, row_out, bidx, wmask, bstep, tips,
+                    n_tips: int, W: int):
+    return _make_wavefront_root(n_tips, W)(nrows, row_lr, row_out, bidx,
+                                           wmask, bstep, tips)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_wavefront_root(n_tips: int, W: int):
+    @jax.custom_batching.custom_vmap
+    def fn(nrows, row_lr, row_out, bidx, wmask, bstep, tips):
+        root, ls = _pallas_batched_wavefront(
+            nrows[None], row_lr[None], row_out[None], bidx[None],
+            wmask[None], bstep[None], tips, n_tips, W)
+        return root[0], ls[0]
+
+    @fn.def_vmap
+    def _rule(axis_size, in_batched, nrows, row_lr, row_out, bidx, wmask,
+              bstep, tips):
+        def bc(x, batched):
+            return x if batched else jnp.broadcast_to(
+                x[None], (axis_size,) + x.shape)
+        nrows = bc(nrows, in_batched[0])
+        row_lr = bc(row_lr, in_batched[1])
+        row_out = bc(row_out, in_batched[2])
+        bidx = bc(bidx, in_batched[3])
+        wmask = bc(wmask, in_batched[4])
+        bstep = bc(bstep, in_batched[5])
+        if in_batched[6]:
+            tips = tips[0]   # identical across chains by construction
+        root, ls = _pallas_batched_wavefront(
+            nrows, row_lr, row_out, bidx, wmask, bstep, tips, n_tips, W)
         return (root, ls), (True, True)
 
     return fn

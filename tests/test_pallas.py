@@ -90,3 +90,35 @@ def test_pallas_vmap_batches_chains():
         ln_p = jnp.log(jnp.einsum("pks,k,s->p", roots[i], w, pi)) + lss[i]
         np.testing.assert_allclose(np.asarray(ln_p), np.asarray(ln_ref),
                                    rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("n_tips,P,S,K,W", [(24, 137, 4, 4, 8),
+                                            (40, 300, 4, 1, 8),
+                                            (24, 64, 2, 4, 4)])
+def test_wavefront_matches_scan(n_tips, P, S, K, W):
+    """Level-batched kernel == lax.scan pass (interpret mode)."""
+    from mrbayes_tpu.ops.pruning_pallas import PruningPallasWavefront
+    t, tips, lam, U, Uinv, pi, cat = _case(n_tips, P, S, K, seed=n_tips)
+    cat = cat[:K]
+    left, right, parent = (jnp.asarray(t.left), jnp.asarray(t.right),
+                           jnp.asarray(t.parent))
+    blen = jnp.asarray(t.blen, jnp.float32)
+    parts, ls_ref = root_partials(left, right, parent, blen, tips,
+                                  lam, U, Uinv, cat, 0.0, n_tips)
+    root_ref = parts[2 * n_tips - 2]
+    pruner = PruningPallasWavefront(np.asarray(tips), K, W=W)
+    os.environ["MB_TPU_FORCE_PALLAS"] = "1"
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            root_p, ls_p = jax.jit(
+                lambda b: root_clv(left, right, parent, b, tips, lam, U,
+                                   Uinv, cat, 0.0, n_tips, pruner=pruner)
+            )(blen)
+            root_p, ls_p = jax.block_until_ready((root_p, ls_p))
+    finally:
+        del os.environ["MB_TPU_FORCE_PALLAS"]
+    w = jnp.full((K,), 1.0 / K)
+    ln_ref = jnp.log(jnp.einsum("pks,k,s->p", root_ref, w, pi)) + ls_ref
+    ln_p = jnp.log(jnp.einsum("pks,k,s->p", root_p, w, pi)) + ls_p
+    np.testing.assert_allclose(np.asarray(ln_p), np.asarray(ln_ref),
+                               rtol=2e-5, atol=2e-5)
