@@ -866,6 +866,100 @@ class Engine:
         self.div_char_frac = w / w.sum()   # ratemult weighting
         self._build_best_batched()
         self._build_pruners_and_pars()
+        self._build_stacked_pruners()
+
+    def _resolved_coding(self, cfg) -> str:
+        if cfg.div.dtype not in (DataType.STANDARD, DataType.RESTRICTION):
+            return "all"
+        return {"all": "all", "variable": "variable",
+                "noabsencesites": "noabsence",
+                "nopresencesites": "nopresence"}.get(
+            cfg.settings.coding, "all")
+
+    def _build_stacked_pruners(self):
+        """Group generic-path divisions sharing a tree into ONE fused
+        Pallas launch (PruningPallasStacked) — partitioned models
+        otherwise pay one kernel launch per division, each serially
+        re-walking the same postorder (hymfossil: 15 launches = 72% of
+        the generation)."""
+        import numpy as np
+
+        from ..ops.pruning_pallas import (PruningPallasStacked,
+                                          kernel_vmem_bytes, VMEM_CAP)
+        self._stacked_pruners: list = []
+        import os
+        if os.environ.get("MB_TPU_STACKED", "0") != "1":
+            # OPT-IN: measured on v5e/hymfossil, stacking LOSES —
+            # all-divisions stacking 7x slower (union state width
+            # multiplies every pattern's MXU passes), and even the
+            # small-pattern-only variant ~4x slower (the XLA-side
+            # union-operand assembly copies the [nodes, KS, KS] block
+            # tensor once per member division).  The per-division
+            # launches' in-kernel step cost is already ~0.27 us and is
+            # what a better design must beat.  Kept for A/B and future
+            # Mosaic/XLA versions.
+            return
+        if self.best or getattr(self, "_site_sharded", False):
+            return
+        by_tree: dict = {}
+        for i, cfg in enumerate(self.div_cfg):
+            if not self._is_generic_div(cfg):
+                continue
+            if self._pruners[i] is None:
+                continue
+            # ONLY small-pattern divisions: each such division pays a
+            # full postorder walk for one mostly-padding 128-lane block,
+            # so merging them is nearly free (their padding lanes are
+            # already being paid for).  Stacking LARGE divisions loses:
+            # the union state width multiplies every pattern's flops by
+            # the group size (measured 7x slower on hymfossil when all
+            # 15 divisions were stacked).
+            pd = self.tip_partials[i].shape[1]
+            if self._resolved_coding(cfg) != "all":
+                pd += cfg.div.n_states
+            if pd > 256:
+                continue
+            t = self.div_tree[i] if self.n_trees > 1 else 0
+            by_tree.setdefault(t, []).append(i)
+        if self.n_trees > 1:
+            return   # per-tree views change the pruner call shape; the
+                     # per-division path stays (rare config)
+        for t, idxs in by_tree.items():
+            if len(idxs) < 2:
+                continue
+            # split the group greedily under the VMEM budget and a
+            # union-state-width cap
+            cur: list = []
+            cur_ks = 0
+            groups = []
+            for i in idxs:
+                cfg = self.div_cfg[i]
+                ks = cfg.n_cats * cfg.div.n_states
+                ksp = ((cur_ks + ks + 7) // 8) * 8
+                if cur and (cur_ks + ks > 96
+                            or kernel_vmem_bytes(self.n_tips, ksp,
+                                                 256) > VMEM_CAP):
+                    groups.append(cur)
+                    cur, cur_ks = [], 0
+                cur.append(i)
+                cur_ks += ks
+            if cur:
+                groups.append(cur)
+            for g in groups:
+                if len(g) < 2:
+                    continue
+                specs = []
+                for i in g:
+                    tp = np.asarray(self.tip_partials[i])
+                    S = tp.shape[-1]
+                    if self._resolved_coding(self.div_cfg[i]) != "all":
+                        dummy = np.broadcast_to(
+                            np.eye(S, dtype=tp.dtype),
+                            (tp.shape[0], S, S))
+                        tp = np.concatenate([tp, dummy], axis=1)
+                    specs.append((tp, self.div_cfg[i].n_cats))
+                self._stacked_pruners.append(
+                    (g, PruningPallasStacked(specs)))
 
     def _build_best_batched(self):
         """BEST fast path: when every gene division runs the same plain
@@ -2141,28 +2235,108 @@ class Engine:
         else:
             blen = state["blen"]
         total = jnp.float32(0.0)
+        stacked_divs = set()
+        if self._stacked_pruners and self._pallas_on() \
+                and not getattr(self, '_site_sharded', False):
+            for idxs, spruner in self._stacked_pruners:
+                total = total + self._stacked_lnl(state, blen, idxs,
+                                                  spruner)
+                stacked_divs.update(idxs)
         for i in range(self.n_div):
-            total = total + self._division_lnL(state, i, blen)
+            if i not in stacked_divs:
+                total = total + self._division_lnL(state, i, blen)
         return total
 
-    def _division_lnL(self, state, i, blen):
+    @staticmethod
+    def _pallas_on() -> bool:
+        from ..ops.pruning import _pallas_enabled
+        return _pallas_enabled()
+
+    def _stacked_lnl(self, state, blen, idxs, spruner):
+        """One fused kernel launch for a group of generic divisions
+        sharing the tree (PruningPallasStacked), then the per-division
+        root reductions (the tail of division_site_loglik, including
+        ascertainment coding corrections and the pinvar mixture)."""
+        from ..ops.pruning import _TINY, _coding_total
+        from ..ops.tiprobs import transition_probs
+        from ..ops.traversal import postorder_internal
+        P_list = []
+        metas = []
+        for gi, i in enumerate(idxs):
+            pi, coding, lam, U, Uinv, rates, pinv, cmask, mult = \
+                self._generic_div_params(state, i)
+            pinv0 = jnp.asarray(pinv, jnp.float32)
+            base = jnp.asarray(mult, jnp.float32) / jnp.maximum(
+                1.0 - pinv0, 1e-6)
+            eff = (blen.astype(jnp.float32) * base)[:, None] \
+                * rates[None, :].astype(jnp.float32)
+            P_list.append(transition_probs(
+                lam.astype(jnp.float32), U.astype(jnp.float32),
+                Uinv.astype(jnp.float32), eff))
+            metas.append((pi, coding, rates, pinv, cmask))
+        order = postorder_internal(state["parent"], self.n_tips)
+        root, ls = spruner(order, state["left"], state["right"], P_list,
+                           parent=state["parent"])
+        total = jnp.float32(0.0)
+        for gi, i in enumerate(idxs):
+            pi, coding, rates, pinv, cmask = metas[gi]
+            boff, ks, kk, S = spruner.block[gi]
+            p0, P = spruner.prange[gi]
+            r = root[boff:boff + ks, p0:p0 + P]            # [KS, P]
+            r = r.reshape(kk, S, P)
+            ls_d = ls[p0:p0 + P]
+            w = jnp.full((kk,), 1.0 / kk, jnp.float32)
+            site_l = jnp.maximum(
+                jnp.einsum("ksp,k,s->p", r, w, pi.astype(jnp.float32)),
+                _TINY)
+            ln_var = jnp.log(site_l) + ls_d
+            if cmask is not None:
+                cm = cmask
+                if coding != "all":
+                    cm = jnp.concatenate(
+                        [cm, jnp.eye(S, dtype=cm.dtype)], axis=0)
+                const_l = jnp.einsum("ps,s->p", cm.astype(jnp.float32),
+                                     pi.astype(jnp.float32))
+                pv = jnp.asarray(pinv, jnp.float32)
+                ln_inv = jnp.log(jnp.maximum(pv, _TINY)) + \
+                    jnp.log(jnp.maximum(const_l, _TINY))
+                ln_site = jnp.where(
+                    pv > 0.0,
+                    jnp.logaddexp(
+                        jnp.log1p(-jnp.minimum(pv, 1 - 1e-7)) + ln_var,
+                        ln_inv),
+                    ln_var)
+            else:
+                ln_site = ln_var
+            wts = self.weights[i]
+            if coding == "all":
+                total = total + jnp.sum(
+                    wts.astype(jnp.float32) * ln_site)
+            else:
+                total = total + _coding_total(
+                    ln_site[:-S], ln_site[-S:], wts, coding, S)
+        return total
+
+    def _is_generic_div(self, cfg) -> bool:
+        """True when division i's lnL goes through the generic
+        division_loglik tail (the stackable family)."""
+        return (cfg.div.dtype is not DataType.CONTINUOUS
+                and not cfg.parsimony
+                and cfg.sympi_group < 0 and cfg.symbeta_group < 0
+                and cfg.fixed_symbeta <= 0
+                and cfg.codon is None
+                and cfg.covswitch_group < 0
+                and cfg.fixed_covswitch is None
+                and cfg.ratecorr_group < 0)
+
+    def _generic_div_params(self, state, i):
+        """(pi_root, coding, lam, U, Uinv, rates, pinv, cmask, mult) of a
+        generic-path division — the inputs division_loglik needs beyond
+        the tree."""
         cfg = self.div_cfg[i]
         s = cfg.settings
-        if cfg.div.dtype is DataType.CONTINUOUS:
-            return self._brownian_lnL(state, i, cfg, blen)
-        if cfg.parsimony:
-            return self._pars_lnL(state, i, cfg)
-        if cfg.sympi_group >= 0 or cfg.symbeta_group >= 0 \
-                or cfg.fixed_symbeta > 0:
-            return self._std_symdiri_loglik(state, i, cfg, blen)
         pi = (state[cfg.pi_field][cfg.pi_group] if cfg.pi_group >= 0
               else jnp.asarray(cfg.fixed_pi, jnp.float32))
-        if cfg.codon is not None:
-            return self._codon_loglik(state, i, cfg, pi, blen)
-        if cfg.covswitch_group >= 0 or cfg.fixed_covswitch is not None:
-            return self._covarion_loglik(state, i, cfg, blen)
-        if cfg.ratecorr_group >= 0:
-            return self._adgamma_loglik(state, i, cfg, pi, blen)
         if cfg.div.dtype is DataType.PROTEIN and cfg.aamodel_group >= 0:
             _, pi_stack = self._aa_stacks()
             pi = pi_stack[state["aamodel_idx"][cfg.aamodel_group]]
@@ -2214,6 +2388,29 @@ class Engine:
         mult = 2.0 if cfg.doublet else 1.0
         if self.ratemult_on:
             mult = mult * state["ratemult"][i] / self.div_char_frac[i]
+        return pi, coding, lam, U, Uinv, rates, pinv, cmask, mult
+
+    def _division_lnL(self, state, i, blen):
+        cfg = self.div_cfg[i]
+        if cfg.div.dtype is DataType.CONTINUOUS:
+            return self._brownian_lnL(state, i, cfg, blen)
+        if cfg.parsimony:
+            return self._pars_lnL(state, i, cfg)
+        if cfg.sympi_group >= 0 or cfg.symbeta_group >= 0 \
+                or cfg.fixed_symbeta > 0:
+            return self._std_symdiri_loglik(state, i, cfg, blen)
+        if cfg.codon is not None:
+            pi = (state[cfg.pi_field][cfg.pi_group] if cfg.pi_group >= 0
+                  else jnp.asarray(cfg.fixed_pi, jnp.float32))
+            return self._codon_loglik(state, i, cfg, pi, blen)
+        if cfg.covswitch_group >= 0 or cfg.fixed_covswitch is not None:
+            return self._covarion_loglik(state, i, cfg, blen)
+        if cfg.ratecorr_group >= 0:
+            pi = (state[cfg.pi_field][cfg.pi_group] if cfg.pi_group >= 0
+                  else jnp.asarray(cfg.fixed_pi, jnp.float32))
+            return self._adgamma_loglik(state, i, cfg, pi, blen)
+        pi, coding, lam, U, Uinv, rates, pinv, cmask, mult = \
+            self._generic_div_params(state, i)
         return division_loglik(
             state["left"], state["right"], state["parent"],
             blen, self.tip_partials[i], self.weights[i],

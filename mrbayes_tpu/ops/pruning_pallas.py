@@ -104,17 +104,17 @@ def kernel_vmem_bytes(n_tips: int, ksp: int, pblk: int) -> int:
 
 
 def pick_pattern_block(n_tips: int, ksp: int, ppad: int) -> int | None:
-    """Largest power-of-two pattern block (>=128, dividing ppad) whose
-    grid cell fits VMEM_CAP; None when even 128 does not fit."""
-    pblk = ppad
-    while pblk > 128 and (kernel_vmem_bytes(n_tips, ksp, pblk) > VMEM_CAP
-                          or ppad % pblk):
-        pblk //= 2
-    while ppad % pblk:
-        pblk //= 2
-    if kernel_vmem_bytes(n_tips, ksp, pblk) > VMEM_CAP:
-        return None
-    return pblk
+    """Largest 128-multiple pattern block dividing ppad whose grid cell
+    fits VMEM_CAP (Mosaic requires lane blocks to be 128-multiples or
+    the full dimension); None when even 128 does not fit."""
+    m = ppad // 128
+    for d in range(m, 0, -1):
+        if m % d:
+            continue
+        pblk = d * 128
+        if kernel_vmem_bytes(n_tips, ksp, pblk) <= VMEM_CAP:
+            return pblk
+    return None
 
 
 def _pallas_batched(lr, bstep, tips, n_tips: int):
@@ -514,3 +514,66 @@ def _make_wavefront_root(n_tips: int, W: int):
         return (root, ls), (True, True)
 
     return fn
+
+
+class PruningPallasStacked:
+    """ONE kernel launch for a GROUP of divisions sharing a tree.
+
+    The hymfossil profile showed per-division kernel launches dominate
+    partitioned likelihoods (15 launches, each serially re-walking the
+    same 113-node postorder).  Divisions stack block-diagonally on the
+    state axis (KS_total = sum K_d*S_d) and concatenate on the pattern
+    axis; a pattern's tip partials live only in its division's block, so
+    zeros propagate and each pattern's math involves only its own
+    division — one postorder walk computes every division's root
+    partials (same fused kernel as PruningPallas, bigger operands).
+
+    ``specs``: [(tips_with_dummies [n, P_d, S_d], n_cats_d)] per
+    division, in group order.
+    """
+
+    def __init__(self, specs):
+        n_tips = specs[0][0].shape[0]
+        self.n_tips = n_tips
+        self.block = []       # (state offset, KS_d, K_d, S_d)
+        self.prange = []      # (pattern offset, P_d)
+        off = pof = 0
+        for tp, k in specs:
+            _, P, S = tp.shape
+            self.block.append((off, k * S, k, S))
+            self.prange.append((pof, P))
+            off += k * S
+            pof += P
+        self.KS = off
+        self.KSp = _round_up(off, 8)
+        self.P_tot = pof
+        self.Ppad = _round_up(pof, 128)
+        t = np.zeros((n_tips, self.KSp, self.Ppad), np.float32)
+        for (tp, k), (boff, ks, kk, S), (p0, P) in zip(
+                specs, self.block, self.prange):
+            tt = np.transpose(np.asarray(tp, np.float32), (0, 2, 1))
+            t[:, boff:boff + ks, p0:p0 + P] = np.tile(tt, (1, kk, 1))
+        self.tips_dev = jnp.asarray(t)
+
+    def __call__(self, order, left, right, P_list, parent=None):
+        """P_list: per-division [n_nodes, K_d, S_d, S_d] transition
+        tensors.  Returns RAW (root [KSp, Ppad], logscale [Ppad]) — the
+        caller slices per-division blocks/pattern ranges."""
+        n_tips = self.n_tips
+        n_int = order.shape[0]
+        n_nodes = left.shape[0]
+        B = jnp.zeros((n_nodes, self.KSp, self.KSp), jnp.float32)
+        for Pd, (boff, ks, kk, S) in zip(P_list, self.block):
+            eyeK = jnp.eye(kk, dtype=jnp.float32)
+            Bd = jnp.einsum("nksj,kl->nkslj", Pd.astype(jnp.float32),
+                            eyeK).reshape(n_nodes, ks, ks)
+            B = B.at[:, boff:boff + ks, boff:boff + ks].set(Bd)
+        slot = jnp.zeros((n_nodes,), jnp.int32)
+        slot = slot.at[:n_tips].set(jnp.arange(n_tips, dtype=jnp.int32))
+        slot = slot.at[order].set(n_tips
+                                  + jnp.arange(n_int, dtype=jnp.int32))
+        lchild = left[order]
+        rchild = right[order]
+        lr = jnp.stack([slot[lchild], slot[rchild]], axis=-1)
+        bstep = jnp.stack([B[lchild], B[rchild]], axis=1)
+        return _pruning_root(lr, bstep, self.tips_dev, n_tips)

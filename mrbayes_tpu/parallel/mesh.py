@@ -81,6 +81,7 @@ def shard_engine_data(eng: Engine, mesh: Mesh) -> None:
     # tip tensors; under site sharding the lax.scan path (which reads
     # the re-placed tensors above) must be used instead
     eng._pruners = [None] * len(tps)
+    eng._stacked_pruners = []
     # ascertainment corrections switch to the split (replicated
     # dummy-pass) form: appending dummy columns to a pattern-sharded
     # axis would fight GSPMD (ops/pruning.division_loglik)

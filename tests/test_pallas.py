@@ -122,3 +122,32 @@ def test_wavefront_matches_scan(n_tips, P, S, K, W):
     ln_p = jnp.log(jnp.einsum("pks,k,s->p", root_p, w, pi)) + ls_p
     np.testing.assert_allclose(np.asarray(ln_p), np.asarray(ln_ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_stacked_divisions_match_loop():
+    """The division-stacked fused launch == per-division launches, on a
+    real partitioned mixed-datatype engine (kim: rna+dna+protein+
+    standard buckets with coding corrections)."""
+    from mrbayes_tpu.cli import Interpreter
+    os.environ["MB_TPU_STACKED"] = "1"     # opt-in path (see engine)
+    try:
+        it = Interpreter(log=lambda m: None)
+        it.run_line("execute /root/reference/examples/kim.nex")
+        it.run_line("lset applyto=(1,2) nst=2 rates=gamma")
+        eng = it.build_engine()
+    finally:
+        del os.environ["MB_TPU_STACKED"]
+    assert eng._stacked_pruners, "expected a stacked group"
+    n_stacked = sum(len(g) for g, _ in eng._stacked_pruners)
+    assert n_stacked >= 2
+    states, _ = eng.init_chains(seed=9)
+    st0 = {k: v[0] for k, v in states.items()}
+    os.environ["MB_TPU_FORCE_PALLAS"] = "1"
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            a = float(eng.log_likelihood(st0))
+    finally:
+        del os.environ["MB_TPU_FORCE_PALLAS"]
+    eng._stacked_pruners = []
+    b = float(eng.log_likelihood(st0))    # scan fallback per division
+    np.testing.assert_allclose(a, b, rtol=2e-6, atol=0.05)
