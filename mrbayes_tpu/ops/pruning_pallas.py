@@ -81,6 +81,56 @@ def _kernel(lr_ref, bstep_ref, tips_ref, root_ref, ls_ref, cl_ref,
     root_ref[:] = cl_ref[n_tips + n_int - 1]
 
 
+def _kernel_g(lr_ref, bstep_ref, tips_ref, root_ref, ls_ref, *cl_refs,
+              n_tips: int, n_int: int):
+    """One (chain-group, pattern-block) cell: G independent postorder
+    walks interleaved in a single program.
+
+    The serial kernel (`_kernel`) is latency-bound: each ~0.27 us step is
+    a dependent chain of two tiny matmuls + rescale, and the grid walks
+    every (chain, division) cell sequentially, so partitioned runs pay
+    cells x n_int x latency (hymfossil: 60 cells x 113 steps = 72% of the
+    generation).  Here each program advances G chains' walks per loop
+    iteration — the G per-step bodies are data-independent, so Mosaic's
+    scheduler overlaps their MXU/VPU ops and the per-step cost approaches
+    throughput instead of G x latency.
+
+    lr_ref    SMEM [G, n_int, 2]   child slot indices per walk/step
+    bstep_ref VMEM [G, n_int, 2, KSp, KSp]
+    tips_ref  VMEM [n_tips, KSp, Pblk]  (shared across the G walks)
+    root_ref  VMEM [G, KSp, Pblk]
+    ls_ref    VMEM [G, 1, Pblk]
+    cl_refs   G VMEM scratches [n_tips + n_int, KSp, Pblk]
+    """
+    G = len(cl_refs)
+    for g in range(G):
+        cl_refs[g][0:n_tips] = tips_ref[:]
+    ls_ref[:] = jnp.zeros_like(ls_ref)
+
+    def step(i, _):
+        ms = []
+        for g in range(G):
+            l = lr_ref[g, i, 0]
+            r = lr_ref[g, i, 1]
+            wl = jnp.dot(bstep_ref[g, i, 0], cl_refs[g][l],
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+            wr = jnp.dot(bstep_ref[g, i, 1], cl_refs[g][r],
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+            c = wl * wr
+            m = jnp.maximum(jnp.max(c, axis=0, keepdims=True), _TINY)
+            cl_refs[g][n_tips + i] = c / m
+            ms.append(m)
+        for g in range(G):
+            ls_ref[g] = ls_ref[g] + jnp.log(ms[g])
+        return 0
+
+    jax.lax.fori_loop(0, n_int, step, 0, unroll=False)
+    for g in range(G):
+        root_ref[g] = cl_refs[g][n_tips + n_int - 1]
+
+
 VMEM_CAP = 96 * 1024 * 1024      # v5e VMEM is 128 MiB; leave headroom
 
 
@@ -103,6 +153,34 @@ def kernel_vmem_bytes(n_tips: int, ksp: int, pblk: int) -> int:
             + (1 << 20))
 
 
+def group_vmem_bytes(n_tips: int, ksp: int, pblk: int, G: int) -> int:
+    """Scoped-VMEM requirement of one G-walk grid cell (`_kernel_g`)."""
+    n_int = n_tips - 1
+    n_slots = n_tips + n_int
+    lane = _round_up(ksp, 128)
+    sub = _round_up(ksp, 8)
+    bstep_blk = G * n_int * 2 * sub * lane * 4
+    tips_blk = n_tips * sub * pblk * 4
+    scratch = G * n_slots * sub * pblk * 4
+    outs = G * (sub * pblk + pblk) * 4
+    return (2 * bstep_blk + 2 * tips_blk + scratch + 2 * outs
+            + (1 << 20))
+
+
+def pick_group(C: int, n_tips: int, ksp: int, ppad: int) -> int:
+    """Largest walk-interleave factor G (power of two <= 8) dividing the
+    chain count whose grid cell still fits VMEM at the 128-lane minimum
+    pattern block."""
+    import os
+    if os.environ.get("MB_TPU_NO_INTERLEAVE", "0") == "1":
+        return 1
+    for G in (8, 4, 2):
+        if C % G == 0 and group_vmem_bytes(n_tips, ksp, 128, G) \
+                <= VMEM_CAP:
+            return G
+    return 1
+
+
 def pick_pattern_block(n_tips: int, ksp: int, ppad: int) -> int | None:
     """Largest 128-multiple pattern block dividing ppad whose grid cell
     fits VMEM_CAP (Mosaic requires lane blocks to be 128-multiples or
@@ -117,6 +195,19 @@ def pick_pattern_block(n_tips: int, ksp: int, ppad: int) -> int | None:
     return None
 
 
+def _pick_pattern_block_g(n_tips: int, ksp: int, ppad: int,
+                          G: int) -> int | None:
+    """G-walk variant of pick_pattern_block (same 128-multiple rule)."""
+    m = ppad // 128
+    for d in range(m, 0, -1):
+        if m % d:
+            continue
+        pblk = d * 128
+        if group_vmem_bytes(n_tips, ksp, pblk, G) <= VMEM_CAP:
+            return pblk
+    return None
+
+
 def _pallas_batched(lr, bstep, tips, n_tips: int):
     """lr [C, n_int, 2] int32; bstep [C, n_int, 2, KSp, KSp] f32;
     tips [n_tips, KSp, Ppad] f32 (shared across chains).
@@ -125,32 +216,33 @@ def _pallas_batched(lr, bstep, tips, n_tips: int):
     ksp = bstep.shape[-1]
     ppad = tips.shape[-1]
     n_slots = n_tips + n_int
-    pblk = pick_pattern_block(n_tips, ksp, ppad)
+    G = pick_group(C, n_tips, ksp, ppad)
+    pblk = _pick_pattern_block_g(n_tips, ksp, ppad, G)
     if pblk is None:
         raise ValueError("pruning kernel working set exceeds VMEM; "
                          "make_pruner should have fallen back")
     nblk = ppad // pblk
-    vmem_limit = min(int(kernel_vmem_bytes(n_tips, ksp, pblk) * 1.15),
+    vmem_limit = min(int(group_vmem_bytes(n_tips, ksp, pblk, G) * 1.15),
                      VMEM_CAP)
 
-    grid = (C, nblk)
-    kernel = functools.partial(_kernel, n_tips=n_tips, n_int=n_int)
+    grid = (C // G, nblk)
+    kernel = functools.partial(_kernel_g, n_tips=n_tips, n_int=n_int)
     root, ls = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((None, n_int, 2), lambda c, b: (c, 0, 0),
+            pl.BlockSpec((G, n_int, 2), lambda c, b: (c, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((None, n_int, 2, ksp, ksp),
+            pl.BlockSpec((G, n_int, 2, ksp, ksp),
                          lambda c, b: (c, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n_tips, ksp, pblk), lambda c, b: (0, 0, b),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((None, ksp, pblk), lambda c, b: (c, 0, b),
+            pl.BlockSpec((G, ksp, pblk), lambda c, b: (c, 0, b),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, 1, pblk), lambda c, b: (c, 0, b),
+            pl.BlockSpec((G, 1, pblk), lambda c, b: (c, 0, b),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -158,7 +250,8 @@ def _pallas_batched(lr, bstep, tips, n_tips: int):
             jax.ShapeDtypeStruct((C, 1, ppad), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((n_slots, ksp, pblk), jnp.float32),
+            pltpu.VMEM((n_slots, ksp, pblk), jnp.float32)
+            for _ in range(G)
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * C * n_int * 2 * ksp * ksp * ppad,

@@ -92,6 +92,40 @@ def test_pallas_vmap_batches_chains():
                                    rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("C", [4, 8])
+def test_interleaved_walks_match_scan(C):
+    """vmap over C chains triggers the G-walk interleaved kernel
+    (pick_group: G=C for C in {4, 8}) — must equal the scan pass."""
+    from mrbayes_tpu.ops.pruning_pallas import pick_group
+    n_tips, P, S, K = 9, 140, 4, 4
+    t, tips, lam, U, Uinv, pi, cat = _case(n_tips, P, S, K, seed=C)
+    left, right, parent = (jnp.asarray(t.left), jnp.asarray(t.right),
+                           jnp.asarray(t.parent))
+    blen = jnp.asarray(t.blen, jnp.float32)
+    assert pick_group(C, n_tips, K * S, 256) == C
+    blens = jnp.stack([blen * (1 + 0.03 * i) for i in range(C)])
+    pruner = PruningPallas(np.asarray(tips), K)
+    os.environ["MB_TPU_FORCE_PALLAS"] = "1"
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            roots, lss = jax.jit(jax.vmap(
+                lambda b: root_clv(left, right, parent, b, tips, lam, U,
+                                   Uinv, cat, 0.0, n_tips, pruner=pruner)
+            ))(blens)
+            roots, lss = jax.block_until_ready((roots, lss))
+    finally:
+        del os.environ["MB_TPU_FORCE_PALLAS"]
+    w = jnp.full((K,), 1.0 / K)
+    for i in range(C):
+        parts, ls_ref = root_partials(left, right, parent, blens[i], tips,
+                                      lam, U, Uinv, cat, 0.0, n_tips)
+        ln_ref = jnp.log(jnp.einsum(
+            "pks,k,s->p", parts[2 * n_tips - 2], w, pi)) + ls_ref
+        ln_p = jnp.log(jnp.einsum("pks,k,s->p", roots[i], w, pi)) + lss[i]
+        np.testing.assert_allclose(np.asarray(ln_p), np.asarray(ln_ref),
+                                   rtol=2e-5, atol=2e-5)
+
+
 @pytest.mark.parametrize("n_tips,P,S,K,W", [(24, 137, 4, 4, 8),
                                             (40, 300, 4, 1, 8),
                                             (24, 64, 2, 4, 4)])
