@@ -867,6 +867,7 @@ class Engine:
         self._build_best_batched()
         self._build_pruners_and_pars()
         self._build_stacked_pruners()
+        self._build_multiwalk_pruners()
 
     def _resolved_coding(self, cfg) -> str:
         if cfg.div.dtype not in (DataType.STANDARD, DataType.RESTRICTION):
@@ -960,6 +961,60 @@ class Engine:
                     specs.append((tp, self.div_cfg[i].n_cats))
                 self._stacked_pruners.append(
                     (g, PruningPallasStacked(specs)))
+
+    def _build_multiwalk_pruners(self):
+        """Group generic-path divisions sharing the tree into ONE fused
+        Pallas launch with an independent interleaved walk per
+        (division, chain) pair (PruningPallasMultiwalk) — the default
+        partitioned-model path.  Divisions bucket by padded pattern
+        width (Ppad) so small-alignment members don't pay a large
+        member's lane count; each bucket is one launch.  Unlike the
+        opt-in block-diagonal stacking (MB_TPU_STACKED), every walk's
+        matmuls stay at the bucket's max KSp rather than the sum over
+        members, so there is no union-state-width MXU penalty.
+        MB_TPU_NO_MULTIWALK=1 disables (trace-time, like the other
+        MB_TPU_* flags)."""
+        import os
+
+        import numpy as np
+
+        from ..ops.pruning_pallas import (PruningPallasMultiwalk,
+                                          multiwalk_vmem_bytes, VMEM_CAP)
+        self._multiwalk_pruners: list = []
+        if os.environ.get("MB_TPU_NO_MULTIWALK", "0") == "1":
+            return
+        if self.best or getattr(self, "_site_sharded", False) \
+                or self.n_trees > 1:
+            return
+        buckets: dict = {}
+        for i, cfg in enumerate(self.div_cfg):
+            if not self._is_generic_div(cfg) or self._pruners[i] is None:
+                continue
+            pd = self.tip_partials[i].shape[1]
+            if self._resolved_coding(cfg) != "all":
+                pd += cfg.div.n_states
+            ppad = ((pd + 127) // 128) * 128
+            ks = cfg.n_cats * cfg.div.n_states
+            ksp = ((ks + 7) // 8) * 8
+            # a member must fit a one-walk cell at the minimum block
+            if multiwalk_vmem_bytes(self.n_tips, ksp, 128, 1, 1) \
+                    > VMEM_CAP:
+                continue
+            buckets.setdefault(ppad, []).append(i)
+        for ppad, idxs in sorted(buckets.items()):
+            if len(idxs) < 2:
+                continue
+            specs = []
+            for i in idxs:
+                tp = np.asarray(self.tip_partials[i])
+                S = tp.shape[-1]
+                if self._resolved_coding(self.div_cfg[i]) != "all":
+                    dummy = np.broadcast_to(
+                        np.eye(S, dtype=tp.dtype), (tp.shape[0], S, S))
+                    tp = np.concatenate([tp, dummy], axis=1)
+                specs.append((tp, self.div_cfg[i].n_cats))
+            self._multiwalk_pruners.append(
+                (idxs, PruningPallasMultiwalk(specs)))
 
     def _build_best_batched(self):
         """BEST fast path: when every gene division runs the same plain
@@ -1905,17 +1960,36 @@ class Engine:
                     st["sa"] = jnp.zeros((self.n_tips,), jnp.int32)
         else:
             def draw():
+                # mcmc starttree=/nperts= (reference chainParams
+                # startTree/numStartPerts, src/command.c:14520-14521;
+                # RandPerturb src/mcmc.c:2569).  Constrained runs keep
+                # the constraint-respecting random builder — built or
+                # perturbed trees could violate clade constraints.
+                constrained = (self._start_clade_masks()
+                               or self.negative_masks is not None)
+                mode = getattr(self.mcmc, "starttree", "current")
                 t = tree or self.start_tree
-                if t is not None:
-                    return t
-                smasks = self._start_clade_masks()
-                if smasks or self.negative_masks is not None:
-                    from ..trees import random_unrooted_constrained
-                    return self._retry_negative(
-                        lambda: random_unrooted_constrained(
-                            self.n_tips, rng, smasks, mean_blen=0.1),
-                        lambda x: x)
-                return random_unrooted(self.n_tips, rng, mean_blen=0.1)
+                if mode == "random":
+                    t = tree   # ignore user starting tree
+                elif mode in ("parsimony", "nj") and tree is None \
+                        and not constrained:
+                    t = self._built_start_tree(mode, rng)
+                if t is None:
+                    if constrained:
+                        from ..trees import random_unrooted_constrained
+                        smasks = self._start_clade_masks()
+                        t = self._retry_negative(
+                            lambda: random_unrooted_constrained(
+                                self.n_tips, rng, smasks, mean_blen=0.1),
+                            lambda x: x)
+                    else:
+                        t = random_unrooted(self.n_tips, rng,
+                                            mean_blen=0.1)
+                nperts = getattr(self.mcmc, "nperts", 0)
+                if nperts > 0 and tree is None and not constrained:
+                    from ..trees import perturb_nni
+                    t = perturb_nni(t, nperts, rng)
+                return t
 
             def arrays(t):
                 blen = np.clip(t.blen, 0.0, M.BRLEN_MAX).astype(np.float32)
@@ -1940,6 +2014,32 @@ class Engine:
                 st = arrays(draw())
         self._init_substitution_state(st)
         return self.refresh_eigs(st)
+
+    def _built_start_tree(self, mode: str, rng):
+        """starttree=parsimony|nj: build a data-derived starting tree
+        (reference BuildParsTrees stepwise addition / NJ).  Parsimony
+        trees use a fresh random addition order per chain; the NJ tree
+        is deterministic and cached (chains differ via nperts)."""
+        import numpy as np
+
+        from ..trees import (neighbor_joining, parsimony_stepwise,
+                             pdistance_matrix)
+        ms, ws = [], []
+        for d in self.data.divisions:
+            if d.cont is not None or d.patterns.size == 0:
+                continue
+            ms.append(d.patterns.astype(np.uint32))
+            ws.append(np.asarray(d.weights, np.float64))
+        if not ms:
+            return None
+        masks = np.concatenate(ms, axis=1)
+        wts = np.concatenate(ws)
+        if mode == "nj":
+            if not hasattr(self, "_nj_tree"):
+                self._nj_tree = neighbor_joining(
+                    pdistance_matrix(masks, wts))
+            return self._nj_tree
+        return parsimony_stepwise(masks, wts, rng)
 
     def _init_substitution_state(self, st):
         """Fill starting values for all sampled substitution-model
@@ -2235,15 +2335,18 @@ class Engine:
         else:
             blen = state["blen"]
         total = jnp.float32(0.0)
-        stacked_divs = set()
-        if self._stacked_pruners and self._pallas_on() \
-                and not getattr(self, '_site_sharded', False):
-            for idxs, spruner in self._stacked_pruners:
-                total = total + self._stacked_lnl(state, blen, idxs,
-                                                  spruner)
-                stacked_divs.update(idxs)
+        grouped_divs = set()
+        if self._pallas_on() and not getattr(self, '_site_sharded',
+                                             False):
+            for idxs, gpruner in (self._multiwalk_pruners
+                                  + self._stacked_pruners):
+                if grouped_divs.intersection(idxs):
+                    continue
+                total = total + self._group_lnl(state, blen, idxs,
+                                                gpruner)
+                grouped_divs.update(idxs)
         for i in range(self.n_div):
-            if i not in stacked_divs:
+            if i not in grouped_divs:
                 total = total + self._division_lnL(state, i, blen)
         return total
 
@@ -2252,11 +2355,12 @@ class Engine:
         from ..ops.pruning import _pallas_enabled
         return _pallas_enabled()
 
-    def _stacked_lnl(self, state, blen, idxs, spruner):
+    def _group_lnl(self, state, blen, idxs, gpruner):
         """One fused kernel launch for a group of generic divisions
-        sharing the tree (PruningPallasStacked), then the per-division
-        root reductions (the tail of division_site_loglik, including
-        ascertainment coding corrections and the pinvar mixture)."""
+        sharing the tree (PruningPallasMultiwalk default, or the opt-in
+        PruningPallasStacked), then the per-division root reductions
+        (the tail of division_site_loglik, including ascertainment
+        coding corrections and the pinvar mixture)."""
         from ..ops.pruning import _TINY, _coding_total
         from ..ops.tiprobs import transition_probs
         from ..ops.traversal import postorder_internal
@@ -2275,16 +2379,13 @@ class Engine:
                 Uinv.astype(jnp.float32), eff))
             metas.append((pi, coding, rates, pinv, cmask))
         order = postorder_internal(state["parent"], self.n_tips)
-        root, ls = spruner(order, state["left"], state["right"], P_list,
+        root, ls = gpruner(order, state["left"], state["right"], P_list,
                            parent=state["parent"])
         total = jnp.float32(0.0)
         for gi, i in enumerate(idxs):
             pi, coding, rates, pinv, cmask = metas[gi]
-            boff, ks, kk, S = spruner.block[gi]
-            p0, P = spruner.prange[gi]
-            r = root[boff:boff + ks, p0:p0 + P]            # [KS, P]
-            r = r.reshape(kk, S, P)
-            ls_d = ls[p0:p0 + P]
+            r, ls_d = gpruner.div_view(root, ls, gi)       # [K,S,P],[P]
+            kk, S, P = r.shape
             w = jnp.full((kk,), 1.0 / kk, jnp.float32)
             site_l = jnp.maximum(
                 jnp.einsum("ksp,k,s->p", r, w, pi.astype(jnp.float32)),

@@ -30,6 +30,7 @@ the batched kernel transparently.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -131,6 +132,65 @@ def _kernel_g(lr_ref, bstep_ref, tips_ref, root_ref, ls_ref, *cl_refs,
         root_ref[g] = cl_refs[g][n_tips + n_int - 1]
 
 
+def _kernel_w(lr_ref, bstep_ref, tips_ref, root_ref, ls_ref, *cl_refs,
+              n_tips: int, n_int: int, C: int):
+    """One multiwalk grid cell: G independent postorder walks spanning
+    (division, chain) pairs, interleaved in a single program.
+
+    Walk ordering is division-major: global walk w = d*C + c.  A cell
+    covers walks [j*G, (j+1)*G); the launch wrapper guarantees cells
+    never straddle a division boundary when G < C (C % G == 0) and cover
+    whole divisions when G >= C (C | G), so within a cell walk g's chain
+    row is (j*G % C) + (g % C) and its division-local tips row is g // C.
+
+    Compared to `_kernel_g` (chain-interleaved walks of ONE division)
+    each walk here additionally carries its own transition operators and
+    tip block — this is what lets a partitioned model's divisions share
+    one launch without the block-diagonal union-state-width blowup that
+    made `PruningPallasStacked` lose (each walk's matmuls stay at the
+    bucket's max KSp, not the sum over divisions).
+
+    lr_ref    SMEM [C, n_int, 2]   child slot indices per chain
+    bstep_ref VMEM [G, n_int, 2, KSp, KSp]  per-walk tiprob blocks
+    tips_ref  VMEM [R, n_tips, KSp, Pblk]   R = max(1, G//C) divisions
+    root_ref  VMEM [G, KSp, Pblk]
+    ls_ref    VMEM [G, 1, Pblk]
+    cl_refs   G VMEM scratches [n_tips + n_int, KSp, Pblk]
+    """
+    G = len(cl_refs)
+    if C % G == 0 and G < C:
+        base = jax.lax.rem(pl.program_id(0) * G, C)
+    else:
+        base = 0
+    for g in range(G):
+        cl_refs[g][0:n_tips] = tips_ref[g // C]
+    ls_ref[:] = jnp.zeros_like(ls_ref)
+
+    def step(i, _):
+        ms = []
+        for g in range(G):
+            c_row = base + (g % C)
+            l = lr_ref[c_row, i, 0]
+            r = lr_ref[c_row, i, 1]
+            wl = jnp.dot(bstep_ref[g, i, 0], cl_refs[g][l],
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+            wr = jnp.dot(bstep_ref[g, i, 1], cl_refs[g][r],
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+            c = wl * wr
+            m = jnp.maximum(jnp.max(c, axis=0, keepdims=True), _TINY)
+            cl_refs[g][n_tips + i] = c / m
+            ms.append(m)
+        for g in range(G):
+            ls_ref[g] = ls_ref[g] + jnp.log(ms[g])
+        return 0
+
+    jax.lax.fori_loop(0, n_int, step, 0, unroll=False)
+    for g in range(G):
+        root_ref[g] = cl_refs[g][n_tips + n_int - 1]
+
+
 VMEM_CAP = 96 * 1024 * 1024      # v5e VMEM is 128 MiB; leave headroom
 
 
@@ -167,11 +227,14 @@ def group_vmem_bytes(n_tips: int, ksp: int, pblk: int, G: int) -> int:
             + (1 << 20))
 
 
-def pick_group(C: int, n_tips: int, ksp: int, ppad: int) -> int:
+def pick_group(C: int, n_tips: int, ksp: int) -> int:
     """Largest walk-interleave factor G (power of two <= 8) dividing the
     chain count whose grid cell still fits VMEM at the 128-lane minimum
-    pattern block."""
-    import os
+    pattern block.
+
+    MB_TPU_NO_INTERLEAVE is read at TRACE time: toggling it after a jit
+    trace is cached has no effect (same semantics as
+    MB_TPU_FORCE_PALLAS)."""
     if os.environ.get("MB_TPU_NO_INTERLEAVE", "0") == "1":
         return 1
     for G in (8, 4, 2):
@@ -216,7 +279,7 @@ def _pallas_batched(lr, bstep, tips, n_tips: int):
     ksp = bstep.shape[-1]
     ppad = tips.shape[-1]
     n_slots = n_tips + n_int
-    G = pick_group(C, n_tips, ksp, ppad)
+    G = pick_group(C, n_tips, ksp)
     pblk = _pick_pattern_block_g(n_tips, ksp, ppad, G)
     if pblk is None:
         raise ValueError("pruning kernel working set exceeds VMEM; "
@@ -670,3 +733,227 @@ class PruningPallasStacked:
         lr = jnp.stack([slot[lchild], slot[rchild]], axis=-1)
         bstep = jnp.stack([B[lchild], B[rchild]], axis=1)
         return _pruning_root(lr, bstep, self.tips_dev, n_tips)
+
+    def div_view(self, root, ls, gi):
+        """(root [K,S,P], logscale [P]) of member division gi from the
+        raw stacked kernel outputs."""
+        boff, ks, kk, S = self.block[gi]
+        p0, P = self.prange[gi]
+        r = root[boff:boff + ks, p0:p0 + P].reshape(kk, S, P)
+        return r, ls[p0:p0 + P]
+
+
+# ---------------------------------------------------------------------------
+# Multiwalk kernel: ONE launch for a GROUP of divisions sharing a tree,
+# with each (division, chain) pair as an independent interleaved walk.
+#
+# This is the third design against the partitioned-model bottleneck
+# (hymfossil: 15 per-division launches = 72% of a generation, each
+# serially re-walking the same 113-node postorder):
+#   - wavefront level-batching LOST (~9 us/row assembly vs ~1 us/step),
+#   - block-diagonal division stacking LOST (union state width
+#     multiplies every pattern's MXU passes by the group size),
+#   - here each walk keeps its OWN scratch and its own [KSp, KSp]
+#     operators (KSp = the group's max rate-cat x state width, NOT the
+#     sum), so per-step cost approaches the single-division kernel's
+#     while the serial grid shrinks from sum_d(cells_d) launches to
+#     ceil(D*C/G) cells in one launch.
+
+
+def multiwalk_vmem_bytes(n_tips: int, ksp: int, pblk: int, G: int,
+                         R: int) -> int:
+    """Scoped-VMEM requirement of one `_kernel_w` grid cell."""
+    n_int = n_tips - 1
+    n_slots = n_tips + n_int
+    lane = _round_up(ksp, 128)
+    sub = _round_up(ksp, 8)
+    bstep_blk = G * n_int * 2 * sub * lane * 4
+    tips_blk = R * n_tips * sub * pblk * 4
+    scratch = G * n_slots * sub * pblk * 4
+    outs = G * (sub * pblk + pblk) * 4
+    return (2 * bstep_blk + 2 * tips_blk + scratch + 2 * outs
+            + (1 << 20))
+
+
+def pick_multiwalk_group(W: int, C: int, n_tips: int, ksp: int) -> int:
+    """Largest interleave factor G (power of two <= 8) such that cells
+    tile the division-major walk list cleanly: G | W, and either chains
+    divide into cells (C | G) or cells divide into a chain run
+    (C % G == 0)."""
+    for G in (8, 4, 2):
+        if W % G:
+            continue
+        if not (C % G == 0 or G % C == 0):
+            continue
+        R = max(1, G // C)
+        if multiwalk_vmem_bytes(n_tips, ksp, 128, G, R) <= VMEM_CAP:
+            return G
+    return 1
+
+
+def _pallas_multiwalk(lr, bstep, tips, n_tips: int, C: int):
+    """lr [C, n_int, 2] int32; bstep [D*C, n_int, 2, KSp, KSp] f32 in
+    division-major walk order (walk w = d*C + c); tips
+    [D, n_tips, KSp, Ppad] f32.  Returns (root [D*C, KSp, Ppad],
+    logscale [D*C, Ppad])."""
+    n_int = lr.shape[1]
+    W = bstep.shape[0]
+    ksp = bstep.shape[-1]
+    ppad = tips.shape[-1]
+    n_slots = n_tips + n_int
+    G = pick_multiwalk_group(W, C, n_tips, ksp)
+    R = max(1, G // C)
+    m = ppad // 128
+    pblk = None
+    for d in range(m, 0, -1):
+        if m % d:
+            continue
+        if multiwalk_vmem_bytes(n_tips, ksp, d * 128, G, R) <= VMEM_CAP:
+            pblk = d * 128
+            break
+    if pblk is None:
+        raise ValueError("multiwalk kernel working set exceeds VMEM; "
+                         "the engine grouping should have split this")
+    nblk = ppad // pblk
+    vmem_limit = min(int(multiwalk_vmem_bytes(n_tips, ksp, pblk, G, R)
+                         * 1.15), VMEM_CAP)
+    grid = (W // G, nblk)
+    kernel = functools.partial(_kernel_w, n_tips=n_tips, n_int=n_int, C=C)
+    root, ls = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((C, n_int, 2), lambda j, b: (0, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((G, n_int, 2, ksp, ksp),
+                         lambda j, b: (j, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, n_tips, ksp, pblk),
+                         lambda j, b: ((j * G) // (C * R), 0, 0, b),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((G, ksp, pblk), lambda j, b: (j, 0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, 1, pblk), lambda j, b: (j, 0, b),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((W, ksp, ppad), jnp.float32),
+            jax.ShapeDtypeStruct((W, 1, ppad), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n_slots, ksp, pblk), jnp.float32)
+            for _ in range(G)
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * W * n_int * 2 * ksp * ksp * ppad,
+            bytes_accessed=W * (n_int * 2 * ksp * ksp
+                                + 2 * ksp * ppad) * 4,
+            transcendentals=W * n_int * ppad,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit),
+    )(lr, bstep, tips)
+    return root, ls[:, 0, :]
+
+
+def _multiwalk_root(lr, bstep, tips, n_tips: int):
+    """Unbatched entry: one chain (walks = divisions).  vmap over chains
+    expands walks to (division, chain) pairs in one launch."""
+    return _make_multiwalk_root(n_tips)(lr, bstep, tips)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_multiwalk_root(n_tips: int):
+    @jax.custom_batching.custom_vmap
+    def fn(lr, bstep, tips):
+        root, ls = _pallas_multiwalk(lr[None], bstep, tips, n_tips, 1)
+        return root, ls
+
+    @fn.def_vmap
+    def _rule(axis_size, in_batched, lr, bstep, tips):
+        C = axis_size
+        lr_b, bstep_b, tips_b = in_batched
+        if not lr_b:
+            lr = jnp.broadcast_to(lr[None], (C,) + lr.shape)
+        if not bstep_b:
+            bstep = jnp.broadcast_to(bstep[None], (C,) + bstep.shape)
+        if tips_b:
+            tips = tips[0]   # identical across chains by construction
+        D = bstep.shape[1]
+        # division-major walk order: [C, D, ...] -> [D*C, ...]
+        bstep_w = jnp.swapaxes(bstep, 0, 1).reshape(
+            (D * C,) + bstep.shape[2:])
+        root, ls = _pallas_multiwalk(lr, bstep_w, tips, n_tips, C)
+        ksp, ppad = root.shape[-2], root.shape[-1]
+        root = jnp.swapaxes(root.reshape(D, C, ksp, ppad), 0, 1)
+        ls = jnp.swapaxes(ls.reshape(D, C, ppad), 0, 1)
+        return (root, ls), (True, True)
+
+    return fn
+
+
+class PruningPallasMultiwalk:
+    """ONE kernel launch for a group of divisions sharing a tree, one
+    interleaved walk per (division, chain) pair.
+
+    ``specs``: [(tips_with_dummies [n, P_d, S_d], n_cats_d)] per member
+    division.  All members pad to the group's max KSp (state axis) and
+    max Ppad (pattern axis); the caller slices per-division views out of
+    the raw outputs with ``div_view``.
+    """
+
+    def __init__(self, specs):
+        n_tips = specs[0][0].shape[0]
+        self.n_tips = n_tips
+        self.D = len(specs)
+        self.meta = []        # (KS_d, K_d, S_d, P_d)
+        ks_max = p_max = 0
+        for tp, k in specs:
+            _, P, S = tp.shape
+            self.meta.append((k * S, k, S, P))
+            ks_max = max(ks_max, k * S)
+            p_max = max(p_max, P)
+        self.KSp = _round_up(ks_max, 8)
+        self.Ppad = _round_up(p_max, 128)
+        t = np.ones((self.D, n_tips, self.KSp, self.Ppad), np.float32)
+        for d, (tp, k) in enumerate(specs):
+            _, P, S = tp.shape
+            tt = np.transpose(np.asarray(tp, np.float32), (0, 2, 1))
+            t[d, :, :k * S, :P] = np.tile(tt, (1, k, 1))
+            t[d, :, k * S:, :] = 0.0
+        self.tips_dev = jnp.asarray(t)
+
+    def __call__(self, order, left, right, P_list, parent=None):
+        """P_list: per-division [n_nodes, K_d, S_d, S_d] transition
+        tensors.  Returns RAW per-chain (root [D, KSp, Ppad],
+        logscale [D, Ppad]); slice members with ``div_view``."""
+        n_tips = self.n_tips
+        n_int = order.shape[0]
+        n_nodes = left.shape[0]
+        slot = jnp.zeros((n_nodes,), jnp.int32)
+        slot = slot.at[:n_tips].set(jnp.arange(n_tips, dtype=jnp.int32))
+        slot = slot.at[order].set(n_tips
+                                  + jnp.arange(n_int, dtype=jnp.int32))
+        lchild = left[order]
+        rchild = right[order]
+        lr = jnp.stack([slot[lchild], slot[rchild]], axis=-1)
+        bsteps = []
+        for Pd, (ks, kk, S, _) in zip(P_list, self.meta):
+            eyeK = jnp.eye(kk, dtype=jnp.float32)
+            Bd = jnp.einsum("nksj,kl->nkslj", Pd.astype(jnp.float32),
+                            eyeK).reshape(n_nodes, ks, ks)
+            if ks != self.KSp:
+                Bd = jnp.pad(Bd, ((0, 0), (0, self.KSp - ks),
+                                  (0, self.KSp - ks)))
+            bsteps.append(jnp.stack([Bd[lchild], Bd[rchild]], axis=1))
+        bstep = jnp.stack(bsteps)        # [D, n_int, 2, KSp, KSp]
+        return _multiwalk_root(lr, bstep, self.tips_dev, n_tips)
+
+    def div_view(self, root, ls, gi):
+        """(root [K,S,P], logscale [P]) of member division gi from the
+        raw kernel outputs."""
+        ks, kk, S, P = self.meta[gi]
+        r = root[gi, :ks, :P].reshape(kk, S, P)
+        return r, ls[gi, :P]

@@ -82,6 +82,7 @@ def shard_engine_data(eng: Engine, mesh: Mesh) -> None:
     # the re-placed tensors above) must be used instead
     eng._pruners = [None] * len(tps)
     eng._stacked_pruners = []
+    eng._multiwalk_pruners = []
     # ascertainment corrections switch to the split (replicated
     # dummy-pass) form: appending dummy columns to a pattern-sharded
     # axis would fight GSPMD (ops/pruning.division_loglik)

@@ -14,6 +14,7 @@ from mrbayes_tpu.ops.pruning import root_clv, root_partials
 from mrbayes_tpu.ops.pruning_pallas import PruningPallas
 from mrbayes_tpu.ops.tiprobs import eigh_reversible
 from mrbayes_tpu.trees import random_unrooted
+from conftest import example
 
 
 def _case(n_tips, P, S, K, seed):
@@ -102,7 +103,7 @@ def test_interleaved_walks_match_scan(C):
     left, right, parent = (jnp.asarray(t.left), jnp.asarray(t.right),
                            jnp.asarray(t.parent))
     blen = jnp.asarray(t.blen, jnp.float32)
-    assert pick_group(C, n_tips, K * S, 256) == C
+    assert pick_group(C, n_tips, K * S) == C
     blens = jnp.stack([blen * (1 + 0.03 * i) for i in range(C)])
     pruner = PruningPallas(np.asarray(tips), K)
     os.environ["MB_TPU_FORCE_PALLAS"] = "1"
@@ -158,19 +159,70 @@ def test_wavefront_matches_scan(n_tips, P, S, K, W):
                                rtol=2e-5, atol=2e-5)
 
 
+def test_multiwalk_divisions_match_loop():
+    """The multiwalk fused launch (one interleaved walk per
+    (division, chain) pair — the default partitioned path) == the
+    per-division scan fallback, on a real partitioned mixed-datatype
+    engine with heterogeneous state counts, rate counts and coding."""
+    from mrbayes_tpu.cli import Interpreter
+    it = Interpreter(log=lambda m: None)
+    it.run_line(f"execute {example('kim.nex')}")
+    it.run_line("lset applyto=(1,2) nst=2 rates=gamma")
+    eng = it.build_engine()
+    assert eng._multiwalk_pruners, "expected a multiwalk group"
+    n_grouped = sum(len(g) for g, _ in eng._multiwalk_pruners)
+    assert n_grouped >= 2
+    states, _ = eng.init_chains(seed=9)
+    st0 = {k: v[0] for k, v in states.items()}
+    os.environ["MB_TPU_FORCE_PALLAS"] = "1"
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            a = float(eng.log_likelihood(st0))
+    finally:
+        del os.environ["MB_TPU_FORCE_PALLAS"]
+    eng._multiwalk_pruners = []
+    b = float(eng.log_likelihood(st0))    # scan fallback per division
+    np.testing.assert_allclose(a, b, rtol=2e-6, atol=0.05)
+
+
+def test_multiwalk_batched_chains_match_loop():
+    """vmap over chains lifts the multiwalk launch to (division, chain)
+    walks; every chain's grouped lnL must equal its scan-fallback lnL."""
+    from mrbayes_tpu.cli import Interpreter
+    it = Interpreter(log=lambda m: None)
+    it.run_line(f"execute {example('kim.nex')}")
+    it.run_line("lset applyto=(1,2) nst=2 rates=gamma")
+    eng = it.build_engine()
+    assert eng._multiwalk_pruners
+    states, _ = eng.init_chains(seed=11)
+    C = states["left"].shape[0]
+    assert C >= 4
+    os.environ["MB_TPU_FORCE_PALLAS"] = "1"
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            a = np.asarray(jax.vmap(eng.log_likelihood)(states))
+    finally:
+        del os.environ["MB_TPU_FORCE_PALLAS"]
+    eng._multiwalk_pruners = []
+    b = np.asarray(jax.vmap(eng.log_likelihood)(states))
+    np.testing.assert_allclose(a, b, rtol=2e-6, atol=0.05)
+
+
 def test_stacked_divisions_match_loop():
     """The division-stacked fused launch == per-division launches, on a
     real partitioned mixed-datatype engine (kim: rna+dna+protein+
     standard buckets with coding corrections)."""
     from mrbayes_tpu.cli import Interpreter
     os.environ["MB_TPU_STACKED"] = "1"     # opt-in path (see engine)
+    os.environ["MB_TPU_NO_MULTIWALK"] = "1"  # else multiwalk wins
     try:
         it = Interpreter(log=lambda m: None)
-        it.run_line("execute /root/reference/examples/kim.nex")
+        it.run_line(f"execute {example('kim.nex')}")
         it.run_line("lset applyto=(1,2) nst=2 rates=gamma")
         eng = it.build_engine()
     finally:
         del os.environ["MB_TPU_STACKED"]
+        del os.environ["MB_TPU_NO_MULTIWALK"]
     assert eng._stacked_pruners, "expected a stacked group"
     n_stacked = sum(len(g) for g, _ in eng._stacked_pruners)
     assert n_stacked >= 2
