@@ -6,6 +6,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mrbayes_tpu.mcmc.best import msc_gene_log_prior, ploidy_factor
+from conftest import example
 
 
 def test_msc_density_hand_case():
@@ -185,7 +186,7 @@ def test_generatepr_variable_gene_rates(tmp_path):
     src/model.c:20016-20060, src/proposal.c:5537)."""
     from mrbayes_tpu.cli import Interpreter
     it = Interpreter(log=lambda m: None)
-    it.run_line("execute /root/reference/examples/finch.nex")
+    it.run_line(f"execute {example('finch.nex')}")
     it.run_line("prset generatepr=variable")
     pfx = str(tmp_path / "gout")
     it.run_line(f"mcmc ngen=400 nruns=1 nchains=1 samplefreq=50 "

@@ -7,6 +7,7 @@ import numpy as np
 import pytest
 
 from mrbayes_tpu.cli import Interpreter
+from conftest import example
 
 SCRIPT = """#NEXUS
 begin trees;
@@ -14,7 +15,7 @@ begin trees;
 end;
 begin mrbayes;
     set autoclose=yes nowarnings=yes seed=7 swapseed=9;
-    execute "/root/reference/examples/primates.nex";
+    execute "{primates}";
     lset nst=2 rates=equal;
     propset subtree_swap$prob=0 ext_spr$prob=20 ext_spr$tuning=0.7;
     startvals tau=mystart;
@@ -31,7 +32,8 @@ end;
 def run(tmp_path_factory):
     d = tmp_path_factory.mktemp("cmds")
     script = d / "cmds.nex"
-    script.write_text(SCRIPT.format(prefix=str(d / "out")))
+    script.write_text(SCRIPT.format(prefix=str(d / "out"),
+                                primates=example("primates.nex")))
     lines = []
     it = Interpreter(log=lines.append)
     it.execute_file(str(script))

@@ -8,6 +8,7 @@ import numpy as np
 import pytest
 
 from mrbayes_tpu.mcmc.clock import (clock_blens, cpp_branch_multipliers,
+from conftest import example
                                     ln_branch_rates_prior, ln_cpp_prior)
 
 
@@ -128,7 +129,7 @@ def test_cpp_and_mixed_smoke_run(clockvar, tmp_path, monkeypatch):
     from mrbayes_tpu.cli import Interpreter
     logs = []
     interp = Interpreter(log=logs.append)
-    interp.execute_file("/root/reference/examples/primates.nex")
+    interp.execute_file(example("primates.nex"))
     prefix = str(tmp_path / f"pm_{clockvar}")
     interp.run_line("prset brlenspr=clock:uniform")
     interp.run_line(f"prset clockvarpr={clockvar}")

@@ -7,6 +7,7 @@ import numpy as np
 import pytest
 
 from mrbayes_tpu.cli import CommandError, Interpreter
+from conftest import example
 
 REST = "/root/repo/tests/data/restriction.nex"
 
@@ -57,7 +58,7 @@ def test_mixed_rj_switch(tmp_path):
 
 def test_directional_requires_restriction():
     it = Interpreter(log=lambda m: None)
-    it.run_line("execute /root/reference/examples/primates.nex")
+    it.run_line(f"execute {example('primates.nex')}")
     it.run_line("lset statefrmod=directional")
     with pytest.raises(Exception):
         it.build_engine()

@@ -15,7 +15,7 @@ import pytest
 
 from mrbayes_tpu.cli import Interpreter
 
-EXAMPLES = "/root/reference/examples"
+from conftest import REF_EXAMPLES as EXAMPLES
 
 # (file, run appended mcmc if the block doesn't run one, extra setup lines)
 CASES = [

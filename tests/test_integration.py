@@ -8,6 +8,7 @@ import numpy as np
 import pytest
 
 from mrbayes_tpu.cli import Interpreter
+from conftest import example
 
 SCRIPT = """#NEXUS
 begin mrbayes;
@@ -31,7 +32,7 @@ def run_dir(tmp_path_factory):
     d = tmp_path_factory.mktemp("mcmcrun")
     script = d / "run.nex"
     script.write_text(SCRIPT.format(
-        primates="/root/reference/examples/primates.nex",
+        primates=example("primates.nex"),
         prefix=str(d / "out")))
     lines = []
     interp = Interpreter(log=lines.append)
@@ -105,7 +106,7 @@ def test_checkpoint_resume(run_dir):
     lines2 = []
     from mrbayes_tpu.mcmc.run import McmcRunner
     interp2 = Interpreter(log=lines2.append)
-    interp2.execute_file("/root/reference/examples/primates.nex")
+    interp2.execute_file(example("primates.nex"))
     interp2.env.mcmc.filename = str(d / "out")
     interp2.env.mcmc.append = True
     interp2.env.mcmc.ngen = 1700

@@ -11,6 +11,7 @@ import sys
 
 import numpy as np
 import pytest
+from conftest import example
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 
@@ -56,7 +57,7 @@ def test_two_process_distributed(tmp_path):
 DRIVE = """#NEXUS
 begin mrbayes;
     set autoclose=yes nowarnings=yes seed=21 swapseed=22;
-    execute /root/reference/examples/primates.nex;
+    execute {primates};
     lset nst=2 rates=gamma;
     mcmc ngen=120 nruns=2 nchains=2 samplefreq=40 printfreq=120
          diagnfreq=120 checkfreq=120 file=dist;
@@ -72,7 +73,8 @@ def test_two_process_full_driver(tmp_path):
     8-device mesh; process 0 writes the sample files, checkpoint and
     summaries (reference: cold-chain owner -> rank 0 file writes,
     src/mcmc.c:13263-13410; gather src/mcmc.c:14313)."""
-    (tmp_path / "drive.nex").write_text(DRIVE)
+    (tmp_path / "drive.nex").write_text(
+        DRIVE.format(primates=example("primates.nex")))
     port = _free_port()
     env = dict(os.environ)
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"

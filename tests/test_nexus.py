@@ -8,7 +8,7 @@ from mrbayes_tpu.data import make_divisions, parse_char_range
 from mrbayes_tpu.nexus.datatypes import DataType
 from mrbayes_tpu.nexus.parser import read_nexus_file
 
-EX = "/root/reference/examples"
+from conftest import REF_EXAMPLES as EX, ref_testing
 
 
 def test_primates_matrix(primates):
@@ -83,6 +83,6 @@ def test_tip_partials(primates):
 
 
 def test_mrbayes_block_commands():
-    nf = read_nexus_file("/root/reference/testing/test1.nex")
+    nf = read_nexus_file(ref_testing("test1.nex"))
     cmds = [c[0].lower() for c in nf.commands]
     assert "execute" in cmds and "mcmc" in cmds and "sumt" in cmds

@@ -7,6 +7,7 @@ import numpy as np
 
 from mrbayes_tpu.mcmc.diagnostics import SplitCounter
 from mrbayes_tpu.trees import Tree
+from conftest import example
 
 
 def _chain_tree(order):
@@ -79,7 +80,7 @@ def test_swap_info_and_mstat(tmp_path, monkeypatch):
     from mrbayes_tpu.cli import Interpreter
     logs = []
     interp = Interpreter(log=logs.append)
-    interp.execute_file("/root/reference/examples/primates.nex")
+    interp.execute_file(example("primates.nex"))
     prefix = str(tmp_path / "pm")
     interp.run_line("lset nst=mixed rates=gamma")
     interp.run_line(f"mcmc ngen=60 nruns=1 nchains=3 samplefreq=20 "
@@ -103,7 +104,7 @@ def test_debug_invariants_run(tmp_path, monkeypatch):
     monkeypatch.setenv("MB_DEBUG_LNL", "1")
     prefix = str(tmp_path / "dbg")
     it = Interpreter(log=lambda m: None)
-    it.run_line("execute /root/reference/examples/primates.nex")
+    it.run_line(f"execute {example('primates.nex')}")
     it.run_line("lset nst=6 rates=invgamma")
     it.run_line(f"mcmc ngen=150 nruns=1 nchains=2 samplefreq=50 "
                 f"printfreq=150 diagnfreq=150 file={prefix}")

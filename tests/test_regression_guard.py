@@ -7,11 +7,12 @@ is [-5715, -5700] at 20k generations)."""
 import numpy as np
 
 from mrbayes_tpu.cli import Interpreter
+from conftest import example
 
 
 def test_short_chain_envelope(tmp_path):
     it = Interpreter(log=lambda m: None)
-    it.run_line("execute /root/reference/examples/primates.nex")
+    it.run_line(f"execute {example('primates.nex')}")
     it.run_line("lset nst=6 rates=invgamma")
     pfx = str(tmp_path / "guard")
     it.run_line(f"mcmc ngen=2000 nruns=2 nchains=2 samplefreq=100 "

@@ -33,6 +33,7 @@ from mrbayes_tpu.mcmc.report import Reporter
 from mrbayes_tpu.mcmc.settings import (DivisionSettings, McmcSettings,
                                        TreeSettings)
 from mrbayes_tpu.trees import parse_newick
+from conftest import example
 
 HERE = os.path.dirname(__file__)
 GOLD = json.load(open(os.path.join(HERE, "golden_ancstates.json")))
@@ -125,7 +126,7 @@ def test_possel_siteomega_ny98():
     combination of the class omegas, and columns keyed to codon-site
     nucleotide triplets."""
     from mrbayes_tpu.nexus.parser import read_nexus_file
-    nf = read_nexus_file("/root/reference/examples/replicase.nex")
+    nf = read_nexus_file(example("replicase.nex"))
     ds = DataSet(taxa=nf.taxa, nchar=nf.matrix.nchar,
                  divisions=make_divisions(nf.matrix))
     eng = Engine(ds, [DivisionSettings(nucmodel="codon", omegavar="ny98")],
@@ -155,7 +156,7 @@ def test_report_runner_columns(tmp_path):
     from mrbayes_tpu.cli import Interpreter
     prefix = str(tmp_path / "rep")
     it = Interpreter(log=lambda m: None)
-    it.run_line("execute /root/reference/examples/primates.nex")
+    it.run_line(f"execute {example('primates.nex')}")
     it.run_line("lset nst=2 rates=gamma")
     it.run_line("constraint apes = 3-7")
     it.run_line("prset topologypr = constraints(apes)")

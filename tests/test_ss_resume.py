@@ -7,6 +7,7 @@ import pytest
 
 from mrbayes_tpu.cli import Interpreter
 from mrbayes_tpu.mcmc.steppingstone import SsRunner
+from conftest import example
 
 
 class _Killed(Exception):
@@ -15,7 +16,7 @@ class _Killed(Exception):
 
 def _engine(append=False):
     it = Interpreter(log=lambda m: None)
-    it.run_line("execute /root/reference/examples/primates.nex")
+    it.run_line(f"execute {example('primates.nex')}")
     it.run_line("lset nst=1 rates=equal")
     it.run_line(f"mcmcp ngen=160 nruns=1 nchains=1 samplefreq=10 "
                 f"printfreq=1000 checkfreq=10 "

@@ -6,8 +6,9 @@ showparams, charstat, taxastat), and .trprobs tree rendering
 import pytest
 
 from mrbayes_tpu.cli import CommandError, Interpreter
+from conftest import example
 
-PRIMATES = "/root/reference/examples/primates.nex"
+PRIMATES = example("primates.nex")
 
 
 @pytest.fixture()
@@ -163,7 +164,7 @@ def test_unknown_aamodel_rejected():
     """aamodelpr=fixed(<bad name>) must be a hard error, never a silent
     Poisson fallback (protein GTR gap fixed in round 4)."""
     it = Interpreter(log=lambda m: None)
-    it.run_line("execute /root/reference/examples/kim.nex")
+    it.run_line(f"execute {example('kim.nex')}")
     with pytest.raises(CommandError):
         it.run_line("prset applyto=(3) aamodelpr=fixed(gtrx)")
     # the real model names and gtr are accepted
