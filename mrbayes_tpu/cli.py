@@ -139,7 +139,8 @@ class Interpreter:
     # ------------------------------------------------------------------
     # host-side summarization/plot commands run on process 0 only in a
     # distributed launch; MCMC/model commands run on every process
-    HOST_ONLY = ("sump", "sumt", "sumss", "comparetree", "plot", "log")
+    HOST_ONLY = ("sump", "sumt", "sumss", "comparetree", "compareref",
+                 "plot", "log")
 
     def run_command(self, toks: list[str], base_dir: str = "."):
         name = toks[0].lower()
@@ -1019,7 +1020,9 @@ class Interpreter:
                  "minpartfreq", "tune", "tunefreq", "nsteps", "alpha",
                  "burninss", "reheat", "diagnstat", "mcmcdiagn",
                  "printall", "printmax", "savebrlens", "checkpoint",
-                 "autotune", "ordertaxa", "data")
+                 "autotune", "ordertaxa", "data",
+                 "starttree", "startingtrees", "nperts", "startparams",
+                 "reweight", "allchains", "allcomps", "savetrees")
 
     def _set_mcmc_params(self, args):
         mc = self.env.mcmc
@@ -1086,6 +1089,28 @@ class Interpreter:
                 # Data parameter, src/command.c; useful for checking
                 # prior propriety and move mixing)
                 mc.use_data = vl.startswith("y")
+            elif key in ("starttree", "startingtrees"):
+                # reference chainParams.startTree (src/command.c:14520);
+                # "startingtrees" is the deprecated alias
+                if vl not in ("random", "current", "user", "parsimony",
+                              "nj"):
+                    raise CommandError(
+                        f"starttree={v}: expected random, current, "
+                        f"user, parsimony or nj")
+                mc.starttree = vl
+            elif key == "nperts":
+                mc.nperts = int(v)
+            elif key == "startparams":
+                if vl not in ("reset", "current"):
+                    raise CommandError(
+                        f"startparams={v}: expected reset or current")
+                mc.startparams = vl
+            elif key in ("reweight", "allchains", "allcomps",
+                         "savetrees"):
+                # reference-only diagnostics/output toggles
+                # (src/command.c:14644-14695); accepted for drive-file
+                # compatibility, no effect here
+                self.log(f"   [mcmc {key}={v} accepted (no effect)]")
             elif key in ("diagnstat", "mcmcdiagn", "ordertaxa", "reheat",
                          "printall", "printmax", "nsteps", "alpha",
                          "burninss"):
@@ -1117,6 +1142,12 @@ class Interpreter:
             self.log(f"   [MB_MAX_NGEN: ngen capped at {cap}]")
             self.env.mcmc.ngen = int(cap)
         eng = self.build_engine()
+        mc = self.env.mcmc
+        if eng.tree_settings.clock and (
+                mc.starttree in ("random", "parsimony", "nj")
+                or mc.nperts):
+            self.log("   [starttree/nperts apply to non-clock trees; "
+                     "clock runs keep their standard starting trees]")
         mesh = self._analysis_mesh()
         if mesh is not None and mesh.shape.get("sites", 1) > 1:
             from .parallel.mesh import shard_engine_data
@@ -1172,6 +1203,33 @@ class Interpreter:
             raise CommandError("comparetree needs filename1 and filename2")
         comparetree(f1, f2, outputname=out,
                     burninfrac=self._burnin_frac(kv), log=self.log)
+
+    def do_compareref(self, args, base_dir):
+        """compareref: running SDSF of a tree-sample file against
+        reference tree samples (reference DoCompRefTree,
+        src/command.c:359, src/sumpt.c:4609; hidden command)."""
+        from .summarize.compare import compareref
+        kv = {}
+        for key, val in self._kv_pairs(args):
+            key = self._canon_strict(key, self.COMPAREREF_KEYS,
+                                     "compareref")
+            kv[key] = val
+        f1 = kv.get("filename1", [None])[0]
+        f2 = kv.get("filename2", [None])[0]
+        if not f1 or not f2:
+            raise CommandError("compareref needs filename1 and filename2")
+        out = kv.get("outputname", [f1])[0]
+        nruns = int(kv.get("nruns", [self.env.mcmc.nruns])[0])
+        stat = "maxstddev" if kv.get("diagnstat", ["a"])[0].lower() \
+            .startswith("m") else "avgstddev"
+        compareref(f1, f2, outputname=out, nruns=nruns,
+                   burninfrac=self._burnin_frac(kv),
+                   minpartfreq=float(kv.get("minpartfreq", [0.1])[0]),
+                   stat=stat, log=self.log)
+
+    COMPAREREF_KEYS = ("filename1", "filename2", "outputname", "burnin",
+                       "burninfrac", "relburnin", "minpartfreq", "nruns",
+                       "diagnstat")
 
     # full reference parameter surface (src/command.c Plot/Sump/Sumt
     # param tables); keys listed in *_NOOP are accepted with a visible

@@ -193,6 +193,18 @@ class McmcSettings:
     # under vmap so exactly one branch executes (measured A/B in
     # BASELINE.md); the invariant distribution per chain is identical.
     per_chain_moves: bool = False
+    # mcmc starttree=random|current|user|parsimony|nj (reference
+    # chainParams.startTree, src/command.c:14520; default Current =
+    # user trees when defined, else random).  "parsimony" builds
+    # random-addition-order greedy Fitch trees, "nj" neighbor joining.
+    starttree: str = "current"
+    # mcmc nperts=N: N random NNI perturbations applied to every
+    # starting tree (reference RandPerturb, src/mcmc.c:2569-2576)
+    nperts: int = 0
+    # mcmc startparams=reset|current (reference src/command.c:14695);
+    # a fresh run always fills default starting values, so both are
+    # honored by construction (append=yes restores from the .ckp)
+    startparams: str = "current"
 
     @property
     def n_chains_total(self) -> int:

@@ -75,6 +75,86 @@ def comparetree(file1: str, file2: str, outputname: str | None = None,
     return {"rmsd": d, "n_splits": len(rows)}
 
 
+def compareref(file1: str, file2: str, outputname: str | None = None,
+               nruns: int = 1, burninfrac: float = 0.25,
+               minpartfreq: float = 0.10, stat: str = "avgstddev",
+               log=print) -> dict:
+    """Compare a tree-sample file against reference tree samples,
+    writing the running (A/M)SDSF per test tree to ``<out>.sdsf``
+    (reference DoCompRefTree, src/sumpt.c:4609: the reference pool is
+    one split-frequency "run", the growing test pool the other, and the
+    per-tree statistic is CalcTopoConvDiagn2's stddev over ALL observed
+    splits — no minpartfreq filter, src/mcmc.c:1866-1898).
+
+    ``file2`` is a file PREFIX: ``<file2>.t`` (nruns=1) or
+    ``<file2>.run<N>.t``; ``file1`` is used as given (same asymmetry as
+    the reference, src/sumpt.c:4660-4666,4755)."""
+    from ..nexus.parser import read_nexus_file
+    from ..trees import parse_newick
+
+    taxa = None
+    ref_counts: dict[frozenset, int] = {}
+    n_ref = 0
+    for n in range(nruns):
+        path = f"{file2}.t" if nruns == 1 else f"{file2}.run{n + 1}.t"
+        taxa, trees = read_t_file(path, taxa)
+        burn = int(len(trees) * burninfrac)
+        for t in trees[burn:]:
+            for s in splits_of_tree(t):
+                ref_counts[s] = ref_counts.get(s, 0) + 1
+            n_ref += 1
+        log(f"   Processed run {n + 1} of the reference trees: "
+            f"{len(trees)} trees, {burn} discarded as burnin")
+    log(f"   {n_ref} reference trees in total from {nruns} runs")
+    if n_ref == 0:
+        raise ValueError("no reference trees after burnin")
+
+    nf = read_nexus_file(file1)
+    if nf.translate:
+        taxa = [nf.translate[k] for k in
+                sorted(nf.translate, key=lambda x: int(x))]
+    test_counts: dict[frozenset, int] = {}
+    n_test = 0
+    skip = 1       # reference skips the first tree (src/sumpt.c:4775)
+    rows = []
+    for i, ent in enumerate(nf.trees):
+        if i < skip:
+            continue
+        t = parse_newick(ent.newick, taxa)
+        for s in splits_of_tree(t):
+            test_counts[s] = test_counts.get(s, 0) + 1
+        n_test += 1
+        try:
+            gen = int(ent.name.rsplit(".", 1)[-1])
+        except ValueError:
+            gen = i
+        sds = []
+        for s in set(ref_counts) | set(test_counts):
+            fr = ref_counts.get(s, 0) / n_ref
+            ft = test_counts.get(s, 0) / n_test
+            sds.append(np.std([fr, ft], ddof=1))
+        if not sds:
+            rows.append((gen, None))
+        elif stat == "maxstddev":
+            rows.append((gen, float(np.max(sds))))
+        else:
+            rows.append((gen, float(np.mean(sds))))
+    log(f"   {skip} trees discarded, the last {n_test} trees compared "
+        f"to the reference")
+    out = (outputname or file1) + ".sdsf"
+    hdr = "MSDSF" if stat == "maxstddev" else "ASDSF"
+    with open(out, "w") as f:
+        f.write(f"Gen\t{hdr}\n")
+        for gen, v in rows:
+            f.write(f"{gen}\tNA\n" if v is None else f"{gen}\t{v:.6f}\n")
+    log(f"   Wrote running {hdr} to \"{out}\"")
+    final = next((v for g, v in reversed(rows) if v is not None), None)
+    if final is not None:
+        log(f"   Final {hdr}: {final:.6f}")
+    return {"final": final, "n_test": n_test, "n_ref": n_ref,
+            "outfile": out}
+
+
 def plot(prefix: str, parameter: str = "LnL", burninfrac: float = 0.25,
          log=print, width: int = 64, height: int = 18):
     """ASCII trace plot of a sampled parameter across generations
