@@ -972,8 +972,9 @@ class Engine:
         opt-in block-diagonal stacking (MB_TPU_STACKED), every walk's
         matmuls stay at the bucket's max KSp rather than the sum over
         members, so there is no union-state-width MXU penalty.
-        MB_TPU_NO_MULTIWALK=1 disables (trace-time, like the other
-        MB_TPU_* flags)."""
+        MB_TPU_MULTIWALK=1 enables (trace-time, like the other
+        MB_TPU_* flags); measured slower than per-division launches on
+        v5e, see below."""
         import os
 
         import numpy as np
@@ -981,7 +982,19 @@ class Engine:
         from ..ops.pruning_pallas import (PruningPallasMultiwalk,
                                           multiwalk_vmem_bytes, VMEM_CAP)
         self._multiwalk_pruners: list = []
-        if os.environ.get("MB_TPU_NO_MULTIWALK", "0") == "1":
+        if os.environ.get("MB_TPU_MULTIWALK", "0") != "1":
+            # OPT-IN: measured on v5e/hymfossil (15 generic divisions,
+            # 4 chains), multiwalk LOSES to per-division launches with
+            # the G-chain-interleaved kernel: 457.9 vs 522.3 gens/s
+            # end-to-end.  Halving the serial (cell x step) count does
+            # not pay because interleaved steps are no longer
+            # latency-bound at G=4 — the 8-walk cells at the bucket's
+            # max KSp (32) cost more per step than the per-division
+            # cells at native KSp (8..16), and the XLA-side pad/stack/
+            # transpose of the [D,C,n_int,2,KSp,KSp] operand adds HBM
+            # traffic.  Third negative result on this bottleneck
+            # (wavefront, stacking, multiwalk); full numbers in
+            # BASELINE.md.  Kept for A/B and future Mosaic versions.
             return
         if self.best or getattr(self, "_site_sharded", False) \
                 or self.n_trees > 1:
@@ -1108,10 +1121,13 @@ class Engine:
         # each likelihood path passes at call time.
         from ..ops.pruning import make_pruner
         self._pruners: list = []
+        self._pruner_cats: list = []   # rate-cat count each pruner was
+                                       # built with (shard rebuild reuses)
         for i, cfg in enumerate(self.div_cfg):
             s = cfg.settings
             if cfg.div.dtype is DataType.CONTINUOUS:
                 self._pruners.append(None)
+                self._pruner_cats.append(0)
                 continue
             if cfg.codon is not None:
                 if cfg.m10_group >= 0:
@@ -1138,6 +1154,7 @@ class Engine:
                 if cfg.div.dtype not in (DataType.STANDARD,
                                          DataType.RESTRICTION):
                     coding = "all"
+            self._pruner_cats.append(k)
             self._pruners.append(
                 make_pruner(self.tip_partials[i], k, coding))
         # bit-coded state sets for parsimony-guided proposals (reference
@@ -2996,15 +3013,24 @@ class Engine:
         def apply(i):
             def f(args):
                 key, st, tun = args
-                st2, lnH = self.moves[i].fn(key, st, tun)
-                if self.moves[i].updates_q:
-                    st2 = self.refresh_eigs(st2)
-                return st2, lnH
+                return self.moves[i].fn(key, st, tun)
             return f
 
         new, lnH = jax.lax.switch(
             move_idx, [apply(i) for i in range(len(self.moves))],
             (k_move, cur, tuning_row[move_idx]))
+        # eigensystem refresh hoisted OUT of the switch: with a shared
+        # (scalar) move_idx the cond below executes only when the
+        # selected move updates Q — same as refreshing inside the
+        # branch — while in per-chain mode (batched move_idx, every
+        # branch evaluated under vmap) it turns one refresh_eigs per
+        # BRANCH into one per generation, the dominant cost of the
+        # reference-semantics mode
+        if any(m.updates_q for m in self.moves):
+            q_flags = jnp.asarray(
+                [1 if m.updates_q else 0 for m in self.moves], jnp.int32)
+            new = jax.lax.cond(q_flags[move_idx] == 1,
+                               self.refresh_eigs, lambda s: s, new)
         lnL = self.log_likelihood(new)
         lnP = self.log_prior(new)
         ln_r = heat * (power * (lnL - state["lnL"])

@@ -286,10 +286,12 @@ def division_loglik(left, right, parent, blen, tip_partials, weights,
     """
     s = tip_partials.shape[-1]
     if coding != "all" and split_correction:
+        # real patterns go through the (possibly site-sharded Pallas)
+        # pruner; only the tiny replicated dummy pass below stays scan
         ln_real = division_site_loglik(
             left, right, parent, blen, tip_partials, lam, U, Uinv, pi,
             cat_rates, pinv, const_mask, n_tips, rate_mult, cat_weights,
-            pruner=None)
+            pruner=pruner)
         dummy = jnp.broadcast_to(jnp.eye(s, dtype=tip_partials.dtype),
                                  (tip_partials.shape[0], s, s))
         dmask = (jnp.eye(s, dtype=const_mask.dtype)

@@ -41,6 +41,15 @@ from jax.experimental.pallas import tpu as pltpu
 _TINY = 1e-30
 
 
+
+def _interp() -> bool:
+    """MB_PALLAS_INTERPRET=1: run pallas_call in plain interpret mode
+    (jax-native emulation).  Used by the CPU-mesh sharding tests — the
+    TPU-semantics interpreter (pltpu.force_tpu_interpret_mode) becomes
+    pathologically slow under shard_map, the plain interpreter does
+    not.  Trace-time flag like the other MB_* switches."""
+    return os.environ.get("MB_PALLAS_INTERPRET", "0") == "1"
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -323,6 +332,7 @@ def _pallas_batched(lr, bstep, tips, n_tips: int):
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=vmem_limit),
+        interpret=_interp(),
     )(lr, bstep, tips)
     return root, ls[:, 0, :]
 
@@ -380,9 +390,12 @@ class PruningPallas:
         lr = jnp.stack([slot[lchild], slot[rchild]], axis=-1)  # [n_int, 2]
         B = self.block_diag(Pmat)
         bstep = jnp.stack([B[lchild], B[rchild]], axis=1)  # [n_int,2,KSp,KSp]
-        root, ls = _pruning_root(lr, bstep, self.tips_dev, n_tips)
+        root, ls = self._launch(lr, bstep)
         root = root[:self.KS, :self.P].reshape(self.K, self.S, self.P)
         return jnp.transpose(root, (2, 0, 1)), ls[:self.P]
+
+    def _launch(self, lr, bstep):
+        return _pruning_root(lr, bstep, self.tips_dev, self.n_tips)
 
 
 def _pruning_root(lr, bstep, tips, n_tips: int):
@@ -411,6 +424,45 @@ def _make_pruning_root(n_tips: int):
         return (root, ls), (True, True)
 
     return fn
+
+
+class PruningPallasSharded(PruningPallas):
+    """Site-sharded variant: the pattern axis of the tip layout lives
+    sharded over the ``sites`` mesh axis, and the launch runs the SAME
+    fused kernel per shard under ``jax.shard_map`` — lr/bstep
+    replicated, each device pruning its local pattern block.  The root
+    reduction (pattern-weighted sum) happens OUTSIDE on the globally
+    sharded outputs, where GSPMD inserts the psum over ICI (the axis
+    the reference never built, src/mcmc.c:18358-18372).
+
+    The engine's ``shard_engine_data`` pads every division's pattern
+    count to a multiple of ``n_shards * 128`` (weight-0 padding) so the
+    per-device block is lane-aligned.  vmap over chains composes: the
+    chain axis batches through the shard_map body, where the
+    custom_vmap rule lifts it onto the kernel grid per shard."""
+
+    def __init__(self, tips: np.ndarray, n_cats: int, mesh):
+        from jax.sharding import NamedSharding, PartitionSpec
+        super().__init__(tips, n_cats)
+        n_shards = mesh.shape["sites"]
+        if self.Ppad % (128 * n_shards):
+            raise ValueError("pattern axis not divisible by shards*128; "
+                             "shard_engine_data must pad first")
+        self.mesh = mesh
+        host = np.asarray(self.tips_dev)
+        self.tips_dev = jax.device_put(
+            host, NamedSharding(mesh, PartitionSpec(None, None, "sites")))
+
+    def _launch(self, lr, bstep):
+        from jax.sharding import PartitionSpec as P
+        n_tips = self.n_tips
+        fn = jax.shard_map(
+            lambda l, b, t: _pruning_root(l, b, t, n_tips),
+            mesh=self.mesh,
+            in_specs=(P(), P(), P(None, None, "sites")),
+            out_specs=(P(None, "sites"), P("sites")),
+            check_vma=False)
+        return fn(lr, bstep, self.tips_dev)
 
 
 # ---------------------------------------------------------------------------
@@ -563,6 +615,7 @@ def _pallas_batched_wavefront(nrows, row_lr, row_out, bidx, wmask, bstep,
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=vmem_limit),
+        interpret=_interp(),
     )(nrows, row_lr, row_out, bidx, wmask, bstep, tips)
     return root, ls[:, 0, :]
 
@@ -854,6 +907,7 @@ def _pallas_multiwalk(lr, bstep, tips, n_tips: int, C: int):
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=vmem_limit),
+        interpret=_interp(),
     )(lr, bstep, tips)
     return root, ls[:, 0, :]
 

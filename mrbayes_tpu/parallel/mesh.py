@@ -63,24 +63,37 @@ def shard_engine_data(eng: Engine, mesh: Mesh) -> None:
     """Re-place the engine's per-division pattern tensors with the pattern
     dimension sharded over the ``sites`` mesh axis (zero-weight padding
     keeps shapes divisible; padded patterns contribute exactly 0 to lnL)."""
+    from ..ops.pruning import _pallas_enabled
+    from ..ops.pruning_pallas import PruningPallasSharded
     n_shards = mesh.shape["sites"]
     if n_shards == 1:
         return
-    tps, ws, cms = [], [], []
-    for tp, w, cm in zip(eng.tip_partials, eng.weights, eng.const_masks):
-        tp_h, _ = _pad_to_multiple(np.asarray(tp), 1, n_shards)
-        w_h, _ = _pad_to_multiple(np.asarray(w), 0, n_shards)
-        cm_h, _ = _pad_to_multiple(np.asarray(cm), 0, n_shards)
+    # pad the pattern axis to a multiple of shards*128 (weight-0
+    # padding contributes exactly 0 to lnL) so each device's local
+    # block is lane-aligned for the fused Pallas kernel
+    mult = n_shards * 128 if _pallas_enabled() else n_shards
+    tps, ws, cms, new_pruners = [], [], [], []
+    for i, (tp, w, cm) in enumerate(zip(eng.tip_partials, eng.weights,
+                                        eng.const_masks)):
+        tp_h, _ = _pad_to_multiple(np.asarray(tp), 1, mult)
+        w_h, _ = _pad_to_multiple(np.asarray(w), 0, mult)
+        cm_h, _ = _pad_to_multiple(np.asarray(cm), 0, mult)
         tps.append(put_global(
             tp_h, NamedSharding(mesh, P(None, "sites", None))))
         ws.append(put_global(w_h, NamedSharding(mesh, P("sites"))))
         cms.append(put_global(
             cm_h, NamedSharding(mesh, P("sites", None))))
+        # rebuild the division's fused pruner in the sharded layout
+        # (same kernel per shard under shard_map); coding corrections
+        # run as a separate replicated dummy pass, so no dummy columns
+        # are appended here (division_loglik split_correction)
+        if _pallas_enabled() and eng._pruners[i] is not None:
+            new_pruners.append(PruningPallasSharded(
+                tp_h, eng._pruner_cats[i], mesh))
+        else:
+            new_pruners.append(None)
     eng.tip_partials, eng.weights, eng.const_masks = tps, ws, cms
-    # the fused Pallas pruners were built from the unpadded, unsharded
-    # tip tensors; under site sharding the lax.scan path (which reads
-    # the re-placed tensors above) must be used instead
-    eng._pruners = [None] * len(tps)
+    eng._pruners = new_pruners
     eng._stacked_pruners = []
     eng._multiwalk_pruners = []
     # ascertainment corrections switch to the split (replicated

@@ -165,10 +165,14 @@ def test_multiwalk_divisions_match_loop():
     per-division scan fallback, on a real partitioned mixed-datatype
     engine with heterogeneous state counts, rate counts and coding."""
     from mrbayes_tpu.cli import Interpreter
+    os.environ["MB_TPU_MULTIWALK"] = "1"      # opt-in path (see engine)
     it = Interpreter(log=lambda m: None)
     it.run_line(f"execute {example('kim.nex')}")
     it.run_line("lset applyto=(1,2) nst=2 rates=gamma")
-    eng = it.build_engine()
+    try:
+        eng = it.build_engine()
+    finally:
+        del os.environ["MB_TPU_MULTIWALK"]
     assert eng._multiwalk_pruners, "expected a multiwalk group"
     n_grouped = sum(len(g) for g, _ in eng._multiwalk_pruners)
     assert n_grouped >= 2
@@ -189,10 +193,14 @@ def test_multiwalk_batched_chains_match_loop():
     """vmap over chains lifts the multiwalk launch to (division, chain)
     walks; every chain's grouped lnL must equal its scan-fallback lnL."""
     from mrbayes_tpu.cli import Interpreter
+    os.environ["MB_TPU_MULTIWALK"] = "1"      # opt-in path (see engine)
     it = Interpreter(log=lambda m: None)
     it.run_line(f"execute {example('kim.nex')}")
     it.run_line("lset applyto=(1,2) nst=2 rates=gamma")
-    eng = it.build_engine()
+    try:
+        eng = it.build_engine()
+    finally:
+        del os.environ["MB_TPU_MULTIWALK"]
     assert eng._multiwalk_pruners
     states, _ = eng.init_chains(seed=11)
     C = states["left"].shape[0]
@@ -214,7 +222,6 @@ def test_stacked_divisions_match_loop():
     standard buckets with coding corrections)."""
     from mrbayes_tpu.cli import Interpreter
     os.environ["MB_TPU_STACKED"] = "1"     # opt-in path (see engine)
-    os.environ["MB_TPU_NO_MULTIWALK"] = "1"  # else multiwalk wins
     try:
         it = Interpreter(log=lambda m: None)
         it.run_line(f"execute {example('kim.nex')}")
@@ -222,7 +229,6 @@ def test_stacked_divisions_match_loop():
         eng = it.build_engine()
     finally:
         del os.environ["MB_TPU_STACKED"]
-        del os.environ["MB_TPU_NO_MULTIWALK"]
     assert eng._stacked_pruners, "expected a stacked group"
     n_stacked = sum(len(g) for g, _ in eng._stacked_pruners)
     assert n_stacked >= 2

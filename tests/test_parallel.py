@@ -51,6 +51,38 @@ def test_site_sharded_lnl_matches(engine):
     np.testing.assert_allclose(want, got, rtol=2e-4)
 
 
+def test_site_sharded_pallas_kernel_matches(engine):
+    """The FUSED PALLAS kernel under sites sharding (shard_map per
+    shard, interpret mode on the CPU mesh) == the unsharded scan pass.
+    This exercises the flagship kernel + sharding composition
+    (PruningPallasSharded): shard_engine_data rebuilds each division's
+    pruner in the sharded layout when the Pallas path is enabled."""
+    import os
+
+    eng_ref = engine(nruns=1, nchains=2)
+    states, bk = eng_ref.init_chains()
+    want = np.asarray(states["lnL"])
+    eng_sh = engine(nruns=1, nchains=2)
+    mesh = make_mesh(2, 4)
+    os.environ["MB_TPU_FORCE_PALLAS"] = "1"
+    # plain interpret mode: the TPU-semantics interpreter is
+    # pathologically slow under shard_map (see pruning_pallas._interp)
+    os.environ["MB_PALLAS_INTERPRET"] = "1"
+    try:
+        shard_engine_data(eng_sh, mesh)
+        from mrbayes_tpu.ops.pruning_pallas import PruningPallasSharded
+        assert any(isinstance(p, PruningPallasSharded)
+                   for p in eng_sh._pruners)
+        with mesh:
+            st, bk2 = shard_chains(eng_sh, mesh, states, bk)
+            got = np.asarray(jax.jit(jax.vmap(eng_sh.log_likelihood))(
+                {k: v for k, v in st.items() if k not in ("lnL", "lnP")}))
+    finally:
+        del os.environ["MB_TPU_FORCE_PALLAS"]
+        del os.environ["MB_PALLAS_INTERPRET"]
+    np.testing.assert_allclose(want, got, rtol=2e-4)
+
+
 def test_graft_entry_dryrun():
     sys.path.insert(0, "/root/repo")
     import __graft_entry__ as g
