@@ -2994,6 +2994,28 @@ class Engine:
     # ------------------------------------------------------------------
     # generation step
 
+    def _propose_scalar(self, k_move, cur, tuning_row, move_idx):
+        """One move proposal with a SCALAR move index: exactly one
+        switch branch executes.  The eigensystem refresh is hoisted out
+        of the switch into one post-switch cond — with a scalar index
+        the cond executes only when the selected move updates Q (same
+        as refreshing inside the branch)."""
+        def apply(i):
+            def f(args):
+                key, st, tun = args
+                return self.moves[i].fn(key, st, tun)
+            return f
+
+        new, lnH = jax.lax.switch(
+            move_idx, [apply(i) for i in range(len(self.moves))],
+            (k_move, cur, tuning_row[move_idx]))
+        if any(m.updates_q for m in self.moves):
+            q_flags = jnp.asarray(
+                [1 if m.updates_q else 0 for m in self.moves], jnp.int32)
+            new = jax.lax.cond(q_flags[move_idx] == 1,
+                               self.refresh_eigs, lambda s: s, new)
+        return new, lnH
+
     def _chain_step(self, key, state, heat, tuning_row, power, move_idx):
         """One generation for one chain. Returns (state, accepted).
         ``power`` raises the likelihood for power-posterior (steppingstone)
@@ -3009,28 +3031,7 @@ class Engine:
         src/mcmc.c:10094 — only the across-chain correlation differs)."""
         k_move, k_acc = jax.random.split(key, 2)
         cur = {k: v for k, v in state.items() if k not in ("lnL", "lnP")}
-
-        def apply(i):
-            def f(args):
-                key, st, tun = args
-                return self.moves[i].fn(key, st, tun)
-            return f
-
-        new, lnH = jax.lax.switch(
-            move_idx, [apply(i) for i in range(len(self.moves))],
-            (k_move, cur, tuning_row[move_idx]))
-        # eigensystem refresh hoisted OUT of the switch: with a shared
-        # (scalar) move_idx the cond below executes only when the
-        # selected move updates Q — same as refreshing inside the
-        # branch — while in per-chain mode (batched move_idx, every
-        # branch evaluated under vmap) it turns one refresh_eigs per
-        # BRANCH into one per generation, the dominant cost of the
-        # reference-semantics mode
-        if any(m.updates_q for m in self.moves):
-            q_flags = jnp.asarray(
-                [1 if m.updates_q else 0 for m in self.moves], jnp.int32)
-            new = jax.lax.cond(q_flags[move_idx] == 1,
-                               self.refresh_eigs, lambda s: s, new)
+        new, lnH = self._propose_scalar(k_move, cur, tuning_row, move_idx)
         lnL = self.log_likelihood(new)
         lnP = self.log_prior(new)
         ln_r = heat * (power * (lnL - state["lnL"])
@@ -3041,6 +3042,58 @@ class Engine:
         out = jax.tree.map(
             lambda a, b: jnp.where(accept, a, b), new, state)
         return out, accept
+
+    def _per_chain_gen(self, keys, states, heats, tuning, power,
+                       slot_moves, perm):
+        """One generation with INDEPENDENT per-chain move selection at
+        shared-mode cost per branch (reference PickProposal semantics,
+        src/mcmc.c:10094).
+
+        A batched move index under vmap(lax.switch) evaluates EVERY
+        branch for every chain (measured 3.7x slower).  Instead: draw C
+        i.i.d. slot moves from the move distribution and a uniform
+        random permutation assigning slots to chains — permuting i.i.d.
+        draws leaves them i.i.d., so each chain's move sequence has
+        exactly the reference's joint distribution — then lax.scan over
+        slots, each slot gathering ONE chain's state and running a
+        SCALAR switch (one branch executes).  Proposal work per
+        generation is C single-chain branches instead of n_moves
+        full-batch branches; the lnL/prior/accept phase stays batched."""
+        cur = {k: v for k, v in states.items()
+               if k not in ("lnL", "lnP")}
+        C = self.mcmc.n_chains_total
+        nm = len(self.moves)
+
+        def slot(carry, xs):
+            props, lnHs = carry
+            m_j, c = xs
+            st_c = jax.tree.map(lambda a: a[c], cur)
+            k_move = jax.random.split(keys[c])[0]
+            new_c, lnH = self._propose_scalar(
+                k_move, st_c, tuning[c], m_j)
+            props = jax.tree.map(lambda P, n: P.at[c].set(n),
+                                 props, new_c)
+            return (props, lnHs.at[c].set(lnH)), None
+
+        (props, lnHs), _ = jax.lax.scan(
+            slot, (cur, jnp.zeros((C,), jnp.float32)),
+            (slot_moves, perm))
+        lnL = jax.vmap(self.log_likelihood)(props)
+        lnP = jax.vmap(self.log_prior)(props)
+        ln_r = heats * (power * (lnL - states["lnL"])
+                        + lnP - states["lnP"]) + lnHs
+        ln_r = jnp.where(jnp.isnan(ln_r), NEG_INF, ln_r)
+        k_accs = jax.vmap(lambda k: jax.random.split(k)[1])(keys)
+        u = jax.vmap(jax.random.uniform)(k_accs)
+        accepted = jnp.log(u) < ln_r
+        props = {**props, "lnL": lnL, "lnP": lnP}
+        out = jax.tree.map(
+            lambda a, b: jnp.where(
+                accepted.reshape((-1,) + (1,) * (a.ndim - 1)), a, b),
+            props, states)
+        move_per_chain = jnp.zeros((C,), jnp.int32).at[perm].set(
+            slot_moves)
+        return out, accepted, move_per_chain
 
     def _swap_step(self, key, states, temp_id, swap_tries, swap_accepts,
                    power=1.0):
@@ -3126,28 +3179,31 @@ class Engine:
         ckeys_all = jax.vmap(
             lambda k: jax.random.split(k, self.mcmc.n_chains_total))(krest)
         if self.mcmc.per_chain_moves:
+            C = self.mcmc.n_chains_total
             midx_all = jax.vmap(lambda k: jax.random.categorical(
-                k, self.move_logits,
-                shape=(self.mcmc.n_chains_total,)))(ksel_all)
+                k, self.move_logits, shape=(C,)))(ksel_all)
+            perm_all = jax.vmap(lambda k: jax.random.permutation(
+                jax.random.fold_in(k, 7), C))(ksel_all)
         else:
             midx_all = jax.vmap(lambda k: jax.random.categorical(
                 k, self.move_logits))(ksel_all)
+            perm_all = jnp.zeros((n_gens, 1), jnp.int32)   # unused
         skeys_all = jax.vmap(
             lambda g: jax.random.fold_in(bk["swap_key"], g))(gens)
 
         def gen(carry, xs):
             states, bk = carry
-            g, keys, move_idx, skey = xs
+            g, keys, move_idx, perm, skey = xs
             heats = 1.0 / (1.0 + lam * bk["temp_id"].astype(jnp.float32))
             power = bk.get("power", jnp.float32(1.0))
             if self.mcmc.per_chain_moves:
-                # reference-style independent PickProposal per chain;
-                # under vmap the lax.switch evaluates every move branch
-                # for every chain (the measured cost of decorrelation)
-                states, accepted = jax.vmap(
-                    self._chain_step, in_axes=(0, 0, 0, 0, None, 0))(
-                    keys, states, heats, bk["tuning"], power, move_idx)
-                onehot = jax.nn.one_hot(move_idx, nm, dtype=jnp.int32)
+                # reference-style independent PickProposal per chain via
+                # the slot-permutation scan (scalar switch per slot —
+                # see _per_chain_gen)
+                states, accepted, mpc = self._per_chain_gen(
+                    keys, states, heats, bk["tuning"], power,
+                    move_idx, perm)
+                onehot = jax.nn.one_hot(mpc, nm, dtype=jnp.int32)
             else:
                 states, accepted = jax.vmap(
                     self._chain_step, in_axes=(0, 0, 0, 0, None, None))(
@@ -3185,7 +3241,7 @@ class Engine:
 
         (states, bk), _ = jax.lax.scan(
             gen, (states, bk),
-            (gens, ckeys_all, midx_all, skeys_all))
+            (gens, ckeys_all, midx_all, perm_all, skeys_all))
         bk = {**bk, "gen": gen0 + n_gens}
         return states, bk
 

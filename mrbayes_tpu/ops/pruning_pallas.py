@@ -246,7 +246,7 @@ def pick_group(C: int, n_tips: int, ksp: int) -> int:
     MB_TPU_FORCE_PALLAS)."""
     if os.environ.get("MB_TPU_NO_INTERLEAVE", "0") == "1":
         return 1
-    for G in (8, 4, 2):
+    for G in (32, 16, 8, 4, 2):
         if C % G == 0 and group_vmem_bytes(n_tips, ksp, 128, G) \
                 <= VMEM_CAP:
             return G

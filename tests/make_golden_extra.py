@@ -82,6 +82,72 @@ MIXFREQ_CMDS = [
     "prset statefreqpr=dirichlet(1,1)",
 ]
 
+# hymfossil total-evidence composition: FBD clock + sampled ancestors +
+# dated fossil tips + morphology (coding=variable, ordered chars) +
+# 7 partitions, everything unlinked with per-partition rate multipliers
+# (the example's own tutorial tiers, examples/hymfossil.nex:1213-1285;
+# FBD prior reference src/mcmc.c:8763, ProcessStdChars src/model.c:16435)
+_HYM_CALIBRATE = (
+    "calibrate Triassoxyela=fixed(235) Asioxyela=fixed(235) "
+    "Nigrimonticola=fixed(157) Gigantoxyelinae=fixed(135) "
+    "Spathoxyela=fixed(135) Xyela_mesozoica=fixed(135) "
+    "Angaridyela=fixed(135) Xyelotoma=fixed(157) Undatoma=fixed(148) "
+    "Dahuratoma=fixed(134) Mesolyda=fixed(157) Turgidontes=fixed(134) "
+    "Aulidontes=fixed(157) Protosirex=fixed(157) Aulisca=fixed(157) "
+    "Anaxyela=fixed(157) Syntexyela=fixed(157) Karatavites=fixed(157) "
+    "Stephanogaster=fixed(157) Leptephialtites=fixed(157) "
+    "Cleistogaster=fixed(179) Sepulca=fixed(157) Onochoius=fixed(135) "
+    "Ghilarella=fixed(119) Paroryssus=fixed(157) Praeoryssus=fixed(157) "
+    "Mesorussus=fixed(97) Trematothorax=fixed(135) "
+    "Thoracotrema=fixed(119) Prosyntexis=fixed(83) "
+    "Kulbastavia=fixed(157) Brachysyntexis=fixed(157) "
+    "Symphytopterus=fixed(157) Eoxyela=fixed(179) Liadoxyela=fixed(179) "
+    "Abrotoxyela=fixed(164) Pseudoxyelocerus=fixed(182) "
+    "Palaeathalia=fixed(135) Ferganolyda=fixed(179) "
+    "PamphiliidaeUndesc=fixed(164) Rudisiricius=fixed(164) "
+    "Sogutia=fixed(187) Xyelula=fixed(182) Brigittepterus=fixed(182) "
+    "Grimmaratavites=fixed(182)")
+
+HYMFBD_CMDS = [
+    f"execute {EXAMPLES}/hymfossil.nex",
+    "charset MV = 1-236", "charset MS = 237-353",
+    "charset 12S = 354-556", "charset 16S = 557-778",
+    "charset 18S = 779-1669", "charset 28S = 1670-2221",
+    "charset CO1 = 2222-3265",
+    "charset CO1_12 = 2222-3265\\3 2223-3265\\3",
+    "charset CO1_3 = 2224-3265\\3",
+    "charset Ef1aF2 = 3266-4357",
+    "charset Ef1aF2_12 = 3266-4357\\3 3267-4357\\3",
+    "charset Ef1aF2_3 = 3268-4357\\3",
+    "charset Ef1aF1 = 4358-5449",
+    "charset Ef1aF1_12 = 4358-5449\\3 4359-5449\\3",
+    "charset Ef1aF1_3 = 4360-5449\\3",
+    "charset morph_ordered = 20 23 27 30 35 36 41 42 44 46 48 59 65 75 "
+    "78 79 89 99 112 117 134 146 157 159 171 185 191 192 193 196 218 "
+    "228 229 230 237 263 266 288 296 299 304 343 347 349",
+    "charset morph_excluded = 96 136 212 216 217 218 219 220",
+    "charset morph_constant = 277 331",
+    "ctype ordered: morph_ordered",
+    "exclude morph_excluded morph_constant",
+    "partition without_CO1_3 = 7: MV MS, 12S 16S, 18S, 28S, "
+    "CO1_12 CO1_3, Ef1aF1_12 Ef1aF2_12, Ef1aF1_3 Ef1aF2_3",
+    "exclude CO1_3",
+    "set partition = without_CO1_3",
+    "lset applyto=(1) coding=variable rates=gamma",
+    "lset applyto=(2,3,4,5,6,7) nst=6 rates=gamma",
+    "prset applyto=(4) statefreqpr=fixed(equal)",
+    "unlink statefreq=(all) revmat=(all) shape=(all)",
+    "prset applyto=(all) ratepr=variable",
+    _HYM_CALIBRATE,
+    "prset brlenspr=clock:fossilization",
+    "prset speciationpr=exp(20)",
+    "prset extinctionpr=beta(1,1)",
+    "prset fossilizationpr=beta(1,1)",
+    "prset sampleprob=0.0005",
+    "prset nodeagepr=calibrated",
+    "prset clockratepr=lognorm(-7.1,0.5)",
+]
+
 REVS = ("A<->C", "A<->G", "A<->T", "C<->G", "C<->T", "G<->T")
 AA = "ARNDCQEGHILKMFPSTWYV"
 AA3 = ("Ala", "Arg", "Asn", "Asp", "Cys", "Gln", "Glu", "Gly", "His",
@@ -200,6 +266,53 @@ def dirfreq_state(row, eng):
     return st
 
 
+def hymfbd_state(row, eng, tree):
+    """Map a reference FBD total-evidence sample into engine state.
+
+    Substitution-model params come from the .p columns per USER
+    partition (engine divisions map back via div.user_index; the
+    morphology buckets all share partition 1's alpha/m).  The clock tree
+    state is baked directly: node ages are root-relative depths of the
+    sampled newick, and the clockrate is resolved empirically — the
+    reference prints clock trees in substitution-unit lengths, in which
+    case ages are in those units and clockrate must be 1.0, else the
+    printed lengths are time units and the sampled clockrate applies
+    (main() verifies the row's lnL at generation time, so a units
+    mismatch cannot land in the fixture silently)."""
+    import numpy as np
+    nrev = eng.n_groups.get("revmat", 0)
+    npi = eng.n_groups.get("pi", 0)
+    nsh = eng.n_groups.get("shape", 0)
+    rev = [[1.0 / 6] * 6 for _ in range(nrev)]
+    pi = [[0.25] * 4 for _ in range(npi)]
+    shape = [1.0] * nsh
+    ratemult = [0.0] * eng.n_div
+    for i, cfg in enumerate(eng.div_cfg):
+        d = cfg.div.user_index + 1
+        if cfg.revmat_group >= 0 and f"r(A<->C){{{d}}}" in row:
+            rev[cfg.revmat_group] = [float(row[f"r({r}){{{d}}}"])
+                                     for r in REVS]
+        if cfg.pi_group >= 0 and f"pi(A){{{d}}}" in row:
+            pi[cfg.pi_group] = [float(row[f"pi({b}){{{d}}}"])
+                                for b in "ACGT"]
+        if cfg.shape_group >= 0 and f"alpha{{{d}}}" in row:
+            shape[cfg.shape_group] = float(row[f"alpha{{{d}}}"])
+        ratemult[i] = float(row[f"m{{{d}}}"]) \
+            * float(eng.div_char_frac[i])
+    n_nodes = tree.n_nodes
+    depth = np.zeros(n_nodes)
+    order = list(tree.postorder())[::-1]
+    for v in order:
+        for c in (tree.left[v], tree.right[v]):
+            if c >= 0:
+                depth[c] = depth[v] + tree.blen[c]
+    age = (depth.max() - depth).tolist()
+    st = {"revmat": rev, "pi": pi, "shape": shape, "ratemult": ratemult,
+          "age": age, "sa": [0] * eng.n_tips,
+          "clockrate": [float(row["clockrate"])]}
+    return st
+
+
 CONFIGS = [
     ("kim_hky_g_mixed4", KIM_CMDS, kim_state, 200, 100, 0.6),
     ("primates_part2_unlinked_gtr_g", PART_CMDS, part_state, 200, 100,
@@ -211,6 +324,7 @@ CONFIGS = [
     ("kim_protein_gtr", AAGTR_CMDS, aagtr_state, 60, 30, 1.0),
     ("restriction_directional", DIRFREQ_CMDS, dirfreq_state, 60, 30, 0.3),
     ("restriction_mixedfreq", MIXFREQ_CMDS, dirfreq_state, 60, 30, 0.3),
+    ("hymfossil_fbd_totev", HYMFBD_CMDS, hymfbd_state, 60, 30, 1.5),
 ]
 
 
@@ -253,11 +367,42 @@ def main():
                 rooted = "[&R]" in tlines[gi]
                 nwk = tlines[gi].split("=", 1)[1].replace(
                     "[&U]", "").replace("[&R]", "").strip()
+                if mapper.__code__.co_argcount == 3:
+                    # clock composition: the mapper bakes the tree state
+                    # (ages); verify the row NOW, resolving the printed
+                    # tree's units (substitution vs time) empirically
+                    import jax.numpy as jnp
+
+                    from mrbayes_tpu.trees import parse_newick
+                    t = parse_newick(nwk, eng.data.taxa, rooted=rooted)
+                    state = mapper(row, eng, t)
+
+                    def eval_lnl(st_dict):
+                        st = {"left": jnp.asarray(t.left),
+                              "right": jnp.asarray(t.right),
+                              "parent": jnp.asarray(t.parent),
+                              "blen": jnp.asarray(t.blen, jnp.float32)}
+                        for k, v in st_dict.items():
+                            dt = jnp.int32 if k == "sa" else jnp.float32
+                            st[k] = jnp.asarray(v, dt)
+                        return float(eng.log_likelihood(st))
+
+                    want = float(row["lnLike"])
+                    if abs(eval_lnl(state) - want) > tol:
+                        alt = dict(state, clockrate=[1.0])
+                        got = eval_lnl(alt)
+                        assert abs(got - want) <= tol, (
+                            name, row["Gen"], got, want,
+                            "neither time-unit nor substitution-unit "
+                            "tree interpretation matches")
+                        state = alt
+                else:
+                    state = mapper(row, eng)
                 out.append({
                     "name": name, "commands": cmds, "gen": int(row["Gen"]),
                     "newick": nwk, "rooted": rooted,
                     "lnL": float(row["lnLike"]),
-                    "state": mapper(row, eng), "tol": tol})
+                    "state": state, "tol": tol})
             print(f"{name}: {len(plines) - 2} rows")
     with open(os.path.join(HERE, "golden_extra.json"), "w") as f:
         json.dump(out, f, indent=1)

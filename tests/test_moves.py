@@ -317,3 +317,30 @@ def test_pars_moves_marginal_uniform(maker):
     freqs = np.array(sorted(counts.values())) / sum(counts.values())
     assert freqs.min() > 0.030, freqs
     assert freqs.max() < 0.125, freqs
+
+
+def test_per_chain_slot_permutation_mode():
+    """per_chain_moves=True (slot-permutation dispatch, reference
+    PickProposal semantics): chains advance, and different chains
+    accumulate DIFFERENT per-move try counts in one generation stream —
+    the decorrelation the shared-index default trades away."""
+    import numpy as np
+
+    from mrbayes_tpu.cli import Interpreter
+    from mrbayes_tpu.mcmc.settings import McmcSettings
+    from conftest import example
+    it = Interpreter(log=lambda m: None)
+    it.run_line(f"execute {example('primates.nex')}")
+    it.run_line("lset nst=2 rates=gamma")
+    it.env.mcmc = McmcSettings(nruns=1, nchains=4, seed=5,
+                               per_chain_moves=True)
+    eng = it.build_engine()
+    states, bk = eng.init_chains()
+    states, bk = eng.run_block(states, bk, 200)
+    lnl = np.asarray(states["lnL"])
+    assert np.isfinite(lnl).all()
+    tt = np.asarray(bk["tries_total"])
+    assert tt.shape[0] == 4 and tt.sum() == 4 * 200
+    # rows must differ (shared-index mode would make them identical)
+    assert np.abs(tt - tt[0]).sum() > 0
+    assert np.asarray(bk["accepts_total"]).sum() > 0
