@@ -185,7 +185,22 @@ class Engine:
         if not overrides:
             return
         known = {m.name: m for m in self.moves}
+        # the reference's zero-default-weight move types (it ships them
+        # disabled, SetUpMoveTypes relProposalProb=0): intentionally
+        # uncarried here — reject with the documented rationale rather
+        # than a generic unknown-name error
+        uncarried = {"extss", "extssclock", "lspr", "parseraser1",
+                     "parsspr1", "parsspr2", "parstbr1_leaf",
+                     "parstbr2", "extspr1", "extspr2", "extspr3",
+                     "exttbr1", "exttbr2", "exttbr3", "exttbr4"}
         for name, kv in overrides.items():
+            if name.lower() in uncarried:
+                raise ValueError(
+                    f"propset: move {name!r} is a reference move type "
+                    f"shipped with default weight 0 (disabled; "
+                    f"src/model.c SetUpMoveTypes) and is intentionally "
+                    f"not carried — every default-active reference move "
+                    f"has a counterpart (COVERAGE.md)")
             if name not in known:
                 raise ValueError(
                     f"propset: unknown move {name!r}; active moves: "

@@ -309,7 +309,7 @@ def hymfbd_state(row, eng, tree):
     age = (depth.max() - depth).tolist()
     st = {"revmat": rev, "pi": pi, "shape": shape, "ratemult": ratemult,
           "age": age, "sa": [0] * eng.n_tips,
-          "clockrate": [float(row["clockrate"])]}
+          "clockrate": [float(row["clockrate{all}"])]}
     return st
 
 
@@ -324,7 +324,7 @@ CONFIGS = [
     ("kim_protein_gtr", AAGTR_CMDS, aagtr_state, 60, 30, 1.0),
     ("restriction_directional", DIRFREQ_CMDS, dirfreq_state, 60, 30, 0.3),
     ("restriction_mixedfreq", MIXFREQ_CMDS, dirfreq_state, 60, 30, 0.3),
-    ("hymfossil_fbd_totev", HYMFBD_CMDS, hymfbd_state, 60, 30, 1.5),
+    ("hymfossil_fbd_totev", HYMFBD_CMDS, hymfbd_state, 60, 30, 3.0),
 ]
 
 
