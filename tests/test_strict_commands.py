@@ -170,3 +170,15 @@ def test_unknown_aamodel_rejected():
     # the real model names and gtr are accepted
     it.run_line("prset applyto=(3) aamodelpr=fixed(gtr)")
     it.run_line("prset applyto=(3) aamodelpr=fixed(wag)")
+
+
+def test_propset_uncarried_reference_move_rejected():
+    """The reference's zero-default-weight move types (ExtSS, LSPR,
+    ParsEraser1, ...) are intentionally uncarried; propset on them must
+    error with the documented rationale, not a generic unknown-name
+    message (COVERAGE.md round-5)."""
+    it = Interpreter(log=lambda m: None)
+    it.run_line(f"execute {PRIMATES}")
+    it.run_line("propset extss$prob=10")
+    with pytest.raises(Exception, match="default weight 0"):
+        it.build_engine()
