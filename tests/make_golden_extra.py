@@ -365,8 +365,11 @@ def main():
             for gi, pline in enumerate(plines[2:]):
                 row = dict(zip(hdr, pline.rstrip("\n").split("\t")))
                 rooted = "[&R]" in tlines[gi]
-                nwk = tlines[gi].split("=", 1)[1].replace(
-                    "[&U]", "").replace("[&R]", "").strip()
+                import re
+                # strip ALL bracket comments ([&U]/[&R] rooting tags and
+                # clock-tree annotations like [&clockrate=...])
+                nwk = re.sub(r"\[[^\]]*\]", "",
+                             tlines[gi].split("=", 1)[1]).strip()
                 if mapper.__code__.co_argcount == 3:
                     # clock composition: the mapper bakes the tree state
                     # (ages); verify the row NOW, resolving the printed

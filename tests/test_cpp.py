@@ -7,8 +7,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from mrbayes_tpu.mcmc.clock import (clock_blens, cpp_branch_multipliers,
 from conftest import example
+from mrbayes_tpu.mcmc.clock import (clock_blens, cpp_branch_multipliers,
                                     ln_branch_rates_prior, ln_cpp_prior)
 
 
