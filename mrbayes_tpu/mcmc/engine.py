@@ -3110,8 +3110,7 @@ class Engine:
             slot_moves)
         return out, accepted, move_per_chain
 
-    def _swap_step(self, key, states, temp_id, swap_tries, swap_accepts,
-                   power=1.0):
+    def _swap_step(self, key, states, temp_id, power=1.0):
         """``nswaps`` swap attempts per run between random chain pairs
         (reference AttemptSwap, src/mcmc.c:591; acceptance math :718;
         attempts per cycle set by mcmc nswaps, src/bayes.c).
@@ -3121,17 +3120,27 @@ class Engine:
         chains: the scatter-free formulation cut the measured swap cost
         from ~36 us to a few us per generation on v5e (the swap itself is
         a permutation of temperature ids — states never move, exactly the
-        reference's MPI design, src/mcmc.c:826-842)."""
+        reference's MPI design, src/mcmc.c:826-842).
+
+        Returns (temp_id, rec) where rec = (lo, hi, acc) per attempt
+        ([nswaps, R] int32/bool) — the swap-rate matrices are
+        accumulated from these compact records ONCE per block
+        (run_block), not per generation.  ``key`` is (si, sj_off, su):
+        the swap randomness pregenerated for the generation by
+        run_block (it is state-independent, so batching its derivation
+        over the whole block removes the per-generation key splits and
+        randint/uniform kernels from the scan body)."""
+        si, sj_off, su = key
         nc = self.mcmc.nchains
         R = self.mcmc.nruns
         lam = self.mcmc.temp
         E = (power * states["lnL"] + states["lnP"]).reshape(R, nc)
         tid = temp_id.reshape(R, nc)
         idx = jnp.arange(nc)
-        for _ in range(max(1, self.mcmc.nswaps)):
-            key, k1, k1b, k2 = jax.random.split(key, 4)
-            i = jax.random.randint(k1, (R,), 0, nc)
-            j = (i + jax.random.randint(k1b, (R,), 1, nc)) % nc
+        los, his, accs = [], [], []
+        for a in range(max(1, self.mcmc.nswaps)):
+            i = si[a]
+            j = (i + sj_off[a]) % nc
             sel_i = (idx[None, :] == i[:, None])
             sel_j = (idx[None, :] == j[:, None])
             ti = jnp.sum(jnp.where(sel_i, tid, 0), axis=1)
@@ -3141,19 +3150,34 @@ class Engine:
             beta_i = 1.0 / (1.0 + lam * ti.astype(jnp.float32))
             beta_j = 1.0 / (1.0 + lam * tj.astype(jnp.float32))
             ln_r = (beta_i - beta_j) * (Ej - Ei)
-            acc = jnp.log(jax.random.uniform(k2, (R,))) < ln_r
+            acc = jnp.log(su[a]) < ln_r
             swapped = jnp.where(sel_i, tj[:, None],
                                 jnp.where(sel_j, ti[:, None], tid))
             tid = jnp.where(acc[:, None], swapped, tid)
-            lo = jnp.minimum(ti, tj)
-            hi = jnp.maximum(ti, tj)
-            oh_lo = (idx[None, :] == lo[:, None]).astype(swap_tries.dtype)
-            oh_hi = (idx[None, :] == hi[:, None]).astype(swap_tries.dtype)
-            pair = oh_lo[:, :, None] * oh_hi[:, None, :]
-            swap_tries = swap_tries + pair
-            swap_accepts = swap_accepts + pair * acc[:, None, None].astype(
-                swap_accepts.dtype)
-        return tid.reshape(-1), swap_tries, swap_accepts
+            los.append(jnp.minimum(ti, tj))
+            his.append(jnp.maximum(ti, tj))
+            accs.append(acc)
+        rec = (jnp.stack(los), jnp.stack(his), jnp.stack(accs))
+        return tid.reshape(-1), rec
+
+    def _accumulate_swap_stats(self, swap_tries, swap_accepts, lo, hi,
+                               acc, did):
+        """Fold a block's compact swap records ([n_gens, nswaps, R]
+        lo/hi/acc + did validity per generation) into the [R, nc, nc]
+        swap-rate matrices with two scatter-adds."""
+        nc = self.mcmc.nchains
+        R = self.mcmc.nruns
+        r_idx = jnp.broadcast_to(jnp.arange(R), lo.shape)
+        flat = (r_idx * nc + lo) * nc + hi                  # [G, S, R]
+        w = jnp.broadcast_to(did[:, None, None], lo.shape) \
+            .astype(swap_tries.dtype)
+        tries = jnp.zeros((R * nc * nc,), swap_tries.dtype) \
+            .at[flat.reshape(-1)].add(w.reshape(-1))
+        accw = (w * acc.astype(swap_tries.dtype)).reshape(-1)
+        acc_a = jnp.zeros((R * nc * nc,), swap_accepts.dtype) \
+            .at[flat.reshape(-1)].add(accw)
+        return (swap_tries + tries.reshape(R, nc, nc),
+                swap_accepts + acc_a.reshape(R, nc, nc))
 
     def _autotune(self, bk):
         """Batch autotune toward target acceptance (diminishing adaptation;
@@ -3205,6 +3229,24 @@ class Engine:
             perm_all = jnp.zeros((n_gens, 1), jnp.int32)   # unused
         skeys_all = jax.vmap(
             lambda g: jax.random.fold_in(bk["swap_key"], g))(gens)
+        # swap randomness is state-independent: derive the whole block's
+        # pair choices + uniforms in three batched kernels (same stream
+        # as the former in-body derivation: split(skey, 4) per attempt)
+        nsw = max(1, self.mcmc.nswaps)
+        R = self.mcmc.nruns
+        nc = self.mcmc.nchains
+
+        def pregen_swap(skey):
+            iis, joffs, us = [], [], []
+            key = skey
+            for _ in range(nsw):
+                key, k1, k1b, k2 = jax.random.split(key, 4)
+                iis.append(jax.random.randint(k1, (R,), 0, nc))
+                joffs.append(jax.random.randint(k1b, (R,), 1, nc))
+                us.append(jax.random.uniform(k2, (R,)))
+            return jnp.stack(iis), jnp.stack(joffs), jnp.stack(us)
+
+        si_all, sj_all, su_all = jax.vmap(pregen_swap)(skeys_all)
 
         def gen(carry, xs):
             states, bk = carry
@@ -3232,31 +3274,39 @@ class Engine:
                   "tries_total": bk["tries_total"] + onehot,
                   "accepts_total": bk["accepts_total"]
                   + onehot * accepted[:, None].astype(jnp.int32)}
+            rec = (jnp.zeros((nsw, R), jnp.int32),
+                   jnp.zeros((nsw, R), jnp.int32),
+                   jnp.zeros((nsw, R), bool))
+            did = jnp.int32(0)
             if self.mcmc.nchains > 1:
-                def swap(args):
-                    return self._swap_step(skey, states, *args, power)
+                def swap(tid):
+                    return self._swap_step(skey, states, tid, power)
 
-                bk_swap = (bk["temp_id"], bk["swap_tries"],
-                           bk["swap_accepts"])
                 if self.mcmc.swapfreq == 1:
                     # swap every generation (the reference default):
                     # skip the lax.cond wrapper and its carry copies
-                    temp_id, st, sa = swap(bk_swap)
+                    temp_id, rec = swap(bk["temp_id"])
+                    did = jnp.int32(1)
                 else:
-                    temp_id, st, sa = jax.lax.cond(
-                        (g + 1) % self.mcmc.swapfreq == 0, swap,
-                        lambda args: args, bk_swap)
-                bk = {**bk, "temp_id": temp_id, "swap_tries": st,
-                      "swap_accepts": sa}
+                    did = jnp.int32((g + 1) % self.mcmc.swapfreq == 0)
+                    temp_id, rec = jax.lax.cond(
+                        did == 1, swap,
+                        lambda tid: (tid, rec), bk["temp_id"])
+                bk = {**bk, "temp_id": temp_id}
             if self.mcmc.tune:
                 bk = jax.lax.cond(
                     (g + 1) % self.mcmc.tunefreq == 0,
                     self._autotune, lambda b: b, bk)
-            return (states, bk), None
+            return (states, bk), (rec[0], rec[1], rec[2], did)
 
-        (states, bk), _ = jax.lax.scan(
+        (states, bk), (lo, hi, acc, did) = jax.lax.scan(
             gen, (states, bk),
-            (gens, ckeys_all, midx_all, perm_all, skeys_all))
+            (gens, ckeys_all, midx_all, perm_all,
+             (si_all, sj_all, su_all)))
+        if self.mcmc.nchains > 1:
+            st, sa = self._accumulate_swap_stats(
+                bk["swap_tries"], bk["swap_accepts"], lo, hi, acc, did)
+            bk = {**bk, "swap_tries": st, "swap_accepts": sa}
         bk = {**bk, "gen": gen0 + n_gens}
         return states, bk
 

@@ -138,3 +138,31 @@ end;
     assert abs(fr[frozenset({2, 3})] - 1 / 3) < 1e-9
     con = (tmp_path / "r.con.tre").read_text()
     assert "[&R]" in con
+
+
+def test_swap_stats_block_aggregation():
+    """Swap-rate matrices are accumulated from compact per-generation
+    records once per block (engine._accumulate_swap_stats): totals must
+    equal runs x generations/swapfreq attempts exactly."""
+    import numpy as np
+
+    from conftest import example
+    from mrbayes_tpu.cli import Interpreter
+    from mrbayes_tpu.mcmc.settings import McmcSettings
+    it = Interpreter(log=lambda m: None)
+    it.run_line(f"execute {example('primates.nex')}")
+    it.run_line("lset nst=1 rates=equal")
+    it.env.mcmc = McmcSettings(nruns=2, nchains=4, seed=5)
+    eng = it.build_engine()
+    states, bk = eng.init_chains()
+    states, bk = eng.run_block(states, bk, 150)
+    st = np.asarray(bk["swap_tries"])
+    assert st.sum() == 2 * 150          # R=2, one attempt per generation
+    assert np.asarray(bk["swap_accepts"]).sum() > 0
+    assert np.tril(st.sum(0)).sum() == 0   # (lo, hi) upper-triangular
+
+    it.env.mcmc = McmcSettings(nruns=1, nchains=4, seed=5, swapfreq=5)
+    eng2 = it.build_engine()
+    s2, b2 = eng2.init_chains()
+    s2, b2 = eng2.run_block(s2, b2, 150)
+    assert np.asarray(b2["swap_tries"]).sum() == 150 // 5
