@@ -49,6 +49,14 @@ class MoveSpec:
     updates_q: bool = False   # move changes a Q matrix -> re-eigendecompose
                               # (role of the reference's upDateCijk flag,
                               # src/likelihood.c:7864-7872)
+    prior_scope: str = "both"  # which carried prior component the move can
+                               # change: "tree" (topology/blens/ages/clock/
+                               # tree-process params), "params"
+                               # (substitution-model groups), or "both".
+                               # Role of the reference's per-move
+                               # lnPriorRatio scoping (src/proposal.c) —
+                               # here the untouched component is carried
+                               # instead of recomputed each generation.
 
 
 @dataclass
@@ -1537,6 +1545,13 @@ class Engine:
         and finalize weights (tail of reference SetUpMoveTypes,
         src/model.c:21618)."""
         n = self.n_tips
+        # every move registered before this point touches only
+        # tree-component prior inputs (topology/blens/ages and the
+        # tree-process scalars whose priors live in log_prior_tree);
+        # every move appended below touches only group_priors fields
+        # (the log_prior_params component).  The split drives the
+        # carried-prior conds in _chain_step.
+        n_tree_moves = len(mk)
         if self.n_groups.get("pi"):
             mk.append(MoveSpec("pi_dir",
                                partial(M.make_simplex_move("pi"), n_tips=n),
@@ -1846,9 +1861,14 @@ class Engine:
                    "revmat_splitmerge", "revmat_dirmix", "tratio_mult",
                    "omegaprobs_dir", "m3probs_dir",
                    "m10beta_mult", "m10gamma_mult", "m10probs_dir"}
-        for m in mk:
+        for i, m in enumerate(mk):
             m.updates_q = m.name in q_moves
+            m.prior_scope = "tree" if i < n_tree_moves else "params"
         self.moves = mk
+        self._prior_tflags = jnp.asarray(
+            [0 if m.prior_scope == "params" else 1 for m in mk], jnp.int32)
+        self._prior_pflags = jnp.asarray(
+            [0 if m.prior_scope == "tree" else 1 for m in mk], jnp.int32)
         w = np.array([m.weight for m in mk])
         self.move_logits = jnp.log(jnp.asarray(w / w.sum()))
 
@@ -2162,9 +2182,12 @@ class Engine:
                   range(self.mcmc.n_chains_total)]
         states = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
         lnL = jax.vmap(self.log_likelihood)(states)
-        lnP = jax.vmap(self.log_prior)(states)
+        lnP_tree = jax.vmap(self.log_prior_tree)(states)
+        lnP_par = jax.vmap(self.log_prior_params)(states)
         states["lnL"] = lnL
-        states["lnP"] = lnP
+        states["lnP"] = lnP_tree + lnP_par
+        states["lnP_tree"] = lnP_tree
+        states["lnP_par"] = lnP_par
         nt, nm = self.mcmc.n_chains_total, len(self.moves)
         bk = {
             "key": jax.random.PRNGKey(seed),
@@ -2754,6 +2777,28 @@ class Engine:
             rate_mult=mult, cat_weights=weights, pruner=self._pruners[i])
 
     def log_prior(self, state):
+        """Full log prior = tree component + parameter component.
+
+        The two components are carried separately through the MCMC scan
+        (state["lnP_tree"], state["lnP_par"]) and a move recomputes only
+        the component its prior_scope can change — the role the
+        reference's per-move lnPriorRatio plays (each proposal returns
+        the ratio for just the terms it touched, src/proposal.c), done
+        here at component granularity so the carried values stay exact
+        recomputations."""
+        return self.log_prior_tree(state) + self.log_prior_params(state)
+
+    def log_prior_params(self, state):
+        """Prior over the substitution-model parameter groups — every
+        term reads only group_priors fields (updated solely by the
+        _finish_moves proposals)."""
+        return self._grouped_params_prior(state)
+
+    def log_prior_tree(self, state):
+        """Prior over topology/branch lengths/node ages plus the
+        tree-process scalars (clock rate, speciation/extinction/
+        fossilization, popsize/growth, branch-rate variance, CPP) and
+        constraint terms — everything log_prior_params does not cover."""
         if self.best:
             return self._log_prior_best(state)
         if self.tree_settings.clock:
@@ -2792,7 +2837,6 @@ class Engine:
         else:
             lp = lp + brlens_lp(state["blen"])
             lp = lp + self._constraint_terms(state)
-        lp = lp + self._grouped_params_prior(state)
         return lp
 
     def _grouped_params_prior(self, state):
@@ -2919,7 +2963,6 @@ class Engine:
             lp = lp + C.ln_uniform_clock(state["s_age"], S, treeage_lpdf)
         lp = lp + jnp.sum(_scalar_prior_lpdf(ts.popsizepr,
                                              state["popsize"]))
-        lp = lp + self._grouped_params_prior(state)
 
         def ordered(par, age):
             return jnp.all(jnp.where(
@@ -2998,7 +3041,6 @@ class Engine:
         for ti, pr in self.sampled_tip_ages:
             lp = lp + _scalar_prior_lpdf(pr, state["age"][ti])
         lp = lp + self._constraint_terms(state)
-        lp = lp + self._grouped_params_prior(state)
         # ordering sanity: every parent older than its children
         par = state["parent"]
         ok = jnp.all(jnp.where(par >= 0,
@@ -3045,15 +3087,28 @@ class Engine:
         of chain state, as with the reference's per-chain PickProposal,
         src/mcmc.c:10094 — only the across-chain correlation differs)."""
         k_move, k_acc = jax.random.split(key, 2)
-        cur = {k: v for k, v in state.items() if k not in ("lnL", "lnP")}
+        cur = {k: v for k, v in state.items()
+               if k not in ("lnL", "lnP", "lnP_tree", "lnP_par")}
         new, lnH = self._propose_scalar(k_move, cur, tuning_row, move_idx)
         lnL = self.log_likelihood(new)
-        lnP = self.log_prior(new)
+        # recompute only the prior component the selected move can touch;
+        # carry the other (exact: a "params" move leaves every tree-prior
+        # input bit-identical, and vice versa).  move_idx is a shared
+        # scalar, so under vmap each cond stays a real branch — one
+        # component computation per generation for single-scope moves.
+        lnP_tree = jax.lax.cond(
+            self._prior_tflags[move_idx] == 1,
+            self.log_prior_tree, lambda s: state["lnP_tree"], new)
+        lnP_par = jax.lax.cond(
+            self._prior_pflags[move_idx] == 1,
+            self.log_prior_params, lambda s: state["lnP_par"], new)
+        lnP = lnP_tree + lnP_par
         ln_r = heat * (power * (lnL - state["lnL"])
                        + lnP - state["lnP"]) + lnH
         ln_r = jnp.where(jnp.isnan(ln_r), NEG_INF, ln_r)
         accept = jnp.log(jax.random.uniform(k_acc)) < ln_r
         new["lnL"], new["lnP"] = lnL, lnP
+        new["lnP_tree"], new["lnP_par"] = lnP_tree, lnP_par
         out = jax.tree.map(
             lambda a, b: jnp.where(accept, a, b), new, state)
         return out, accept
@@ -3075,7 +3130,7 @@ class Engine:
         generation is C single-chain branches instead of n_moves
         full-batch branches; the lnL/prior/accept phase stays batched."""
         cur = {k: v for k, v in states.items()
-               if k not in ("lnL", "lnP")}
+               if k not in ("lnL", "lnP", "lnP_tree", "lnP_par")}
         C = self.mcmc.n_chains_total
         nm = len(self.moves)
 
@@ -3094,14 +3149,20 @@ class Engine:
             slot, (cur, jnp.zeros((C,), jnp.float32)),
             (slot_moves, perm))
         lnL = jax.vmap(self.log_likelihood)(props)
-        lnP = jax.vmap(self.log_prior)(props)
+        # per-chain move indices are batched here, so component conds
+        # would lower to selects computing both branches — recompute both
+        # components (still exact carries for the next generation)
+        lnP_tree = jax.vmap(self.log_prior_tree)(props)
+        lnP_par = jax.vmap(self.log_prior_params)(props)
+        lnP = lnP_tree + lnP_par
         ln_r = heats * (power * (lnL - states["lnL"])
                         + lnP - states["lnP"]) + lnHs
         ln_r = jnp.where(jnp.isnan(ln_r), NEG_INF, ln_r)
         k_accs = jax.vmap(lambda k: jax.random.split(k)[1])(keys)
         u = jax.vmap(jax.random.uniform)(k_accs)
         accepted = jnp.log(u) < ln_r
-        props = {**props, "lnL": lnL, "lnP": lnP}
+        props = {**props, "lnL": lnL, "lnP": lnP,
+                 "lnP_tree": lnP_tree, "lnP_par": lnP_par}
         out = jax.tree.map(
             lambda a, b: jnp.where(
                 accepted.reshape((-1,) + (1,) * (a.ndim - 1)), a, b),

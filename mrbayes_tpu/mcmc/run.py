@@ -421,17 +421,23 @@ class McmcRunner:
                     self.eng.extract_tree(states_h, slot, t_i).check()
         if os.environ.get("MB_DEBUG_LNL"):
             view = {k: v for k, v in states_dev.items()
-                    if k not in ("lnL", "lnP")}
+                    if k not in ("lnL", "lnP", "lnP_tree", "lnP_par")}
             lnl = np.asarray(jax.vmap(self.eng.log_likelihood)(view))
-            lnp = np.asarray(jax.vmap(self.eng.log_prior)(view))
+            lnpt = np.asarray(jax.vmap(self.eng.log_prior_tree)(view))
+            lnpp = np.asarray(jax.vmap(self.eng.log_prior_params)(view))
             carried_l = np.asarray(states_h["lnL"])
             carried_p = np.asarray(states_h["lnP"])
             dl = np.abs(lnl - carried_l).max()
-            dp = np.abs(lnp - carried_p).max()
-            if dl > 0.5 or dp > 0.5:
+            dp = np.abs((lnpt + lnpp) - carried_p).max()
+            # the carried components must each match an exact recompute
+            # (catches a move misclassified by prior_scope)
+            dt = np.abs(lnpt - np.asarray(states_h["lnP_tree"])).max()
+            dg = np.abs(lnpp - np.asarray(states_h["lnP_par"])).max()
+            if dl > 0.5 or dp > 0.5 or dt > 1e-3 or dg > 1e-3:
                 raise AssertionError(
                     f"DEBUG_LNL drift at gen {gen}: max |dlnL|={dl:.4f} "
-                    f"|dlnP|={dp:.4f} (carried vs recomputed)")
+                    f"|dlnP|={dp:.4f} |dlnP_tree|={dt:.5f} "
+                    f"|dlnP_par|={dg:.5f} (carried vs recomputed)")
 
     def _write_sample(self, gen: int, states, bk):
         states_dev = states
@@ -591,7 +597,9 @@ class McmcRunner:
               for k, v in bk.items()}
         states = jax.vmap(self.eng.refresh_eigs)(states)
         states["lnL"] = jax.vmap(self.eng.log_likelihood)(states)
-        states["lnP"] = jax.vmap(self.eng.log_prior)(states)
+        states["lnP_tree"] = jax.vmap(self.eng.log_prior_tree)(states)
+        states["lnP_par"] = jax.vmap(self.eng.log_prior_params)(states)
+        states["lnP"] = states["lnP_tree"] + states["lnP_par"]
         self._ckp_extra = {k[len("ss."):]: v for k, v in arrays.items()
                            if k.startswith("ss.")}
         return states, bk, gen
